@@ -1,0 +1,221 @@
+"""The per-turn extraction kernel: one pandas batch in → one pandas batch out.
+
+This module is the graft's replacement for the reference's per-image pipeline
+``_extract_single`` (``/root/reference/src/br_doc_ocr/services/extraction.py:
+139-236``): orient/preprocess becomes payload-kind detection + main-content
+extraction (textops), the VLM kernel becomes the deterministic field scanner
+below, and postprocessing (normalize → confidence → low-confidence flags →
+status) keeps the reference's exact semantics (fields.py).
+
+It is consumed two ways, with identical bytes:
+
+- the Spark job wraps :func:`extract_batch` in ``mapInPandas`` (one Arrow
+  crossing per partition, zero per-row Python at the Spark boundary);
+- the golden oracle calls :func:`extract_batch` directly on a whole pandas
+  table, single-threaded.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Iterable
+
+import pandas as pd
+
+from br_doc_ocr_spark.core import fields as F
+from br_doc_ocr_spark.core import textops
+
+# ---------------------------------------------------------------------------
+# Field scanner — pattern registry, scanned against the RAW payload so span
+# offsets index into the original ``text`` column (FIXTURES.md §2).
+# Patterns are claimed in priority order; later matches overlapping an already
+# claimed character range are dropped (prevents the 11-digit prefix of an NFe
+# key from being read as a CPF).
+# ---------------------------------------------------------------------------
+
+VALID_CONFIDENCE = 0.95   # deterministic stand-in for the VLM's per-field score
+INVALID_CONFIDENCE = 0.45  # < FR-013 threshold 0.5 → flagged low-confidence
+
+
+def _valid_date(normalized: str) -> bool:
+    return bool(re.match(r"^\d{4}-\d{2}-\d{2}$", normalized)) and (
+        F.normalize_date(normalized) == normalized
+    )
+
+
+# (field, compiled pattern, normalizer, validator) in claim-priority order.
+_SCANNERS: list[tuple[str, re.Pattern[str], Any, Any]] = [
+    ("chave_acesso",
+     re.compile(r"(?<!\d)\d{44}(?!\d)"),
+     lambda s: F.validate_nfe_key(s).get("normalized", s),
+     lambda s: F.validate_nfe_key(s)["valid"]),
+    ("cnpj",
+     re.compile(r"(?<!\d)\d{2}\.\d{3}\.\d{3}/\d{4}-\d{2}(?!\d)|(?<!\d)\d{14}(?!\d)"),
+     F.normalize_cnpj,
+     lambda s: F.validate_cnpj(s)["valid"]),
+    ("cpf",
+     re.compile(r"(?<!\d)\d{3}\.\d{3}\.\d{3}-\d{2}(?!\d)|(?<!\d)\d{11}(?!\d)"),
+     F.normalize_cpf,
+     F.is_valid_cpf_format),
+    ("registro_geral",
+     re.compile(r"\bMG-\d{2}\.\d{3}\.\d{3}\b|(?<!\d)\d{2}\.\d{3}\.\d{3}-\d(?![\d-])"),
+     F.normalize_rg,
+     lambda s: F.validate_rg_number(s)["valid"]),
+    ("orgao_emissor",
+     re.compile(r"\b(?:SSP|DETRAN|PC|IFP|SDS|SESP|IGP)-[A-Z]{2}\b|\bIIRGD\b"),
+     lambda s: s.strip().upper(),
+     F.validate_orgao_emissor),
+    ("categoria_habilitacao",
+     re.compile(r"[Cc]ategoria[:\s]+\b(ACC|AB|AC|AD|AE|BC|BD|BE|CD|CE|DE|[A-E])\b"),
+     lambda s: s,
+     lambda s: s in F.CNH_CATEGORIES),
+    ("data",
+     re.compile(r"(?<![\d/])\d{2}/\d{2}/\d{4}(?![\d/])|(?<![\d-])\d{4}-\d{2}-\d{2}(?![\d-])"),
+     F.normalize_date,
+     _valid_date),
+    ("valor",
+     re.compile(r"R\$\s?\d{1,3}(?:\.\d{3})*(?:,\d{2})?|R\$\s?\d+(?:[.,]\d+)?"),
+     lambda s: (lambda v: str(v) if v is not None else s)(F.parse_currency(s)),
+     lambda s: F.parse_currency(s) is not None),
+]
+
+# Cheap pre-filter: a payload with no digit and no 'R$' cannot contain any
+# field — the projection-pushdown analog of the reference's
+# downscale-before-inference trick (preprocessing.py:66-96).
+_ANY_FIELD_HINT = re.compile(r"\d")
+
+
+def scan_fields(
+    text: str,
+) -> tuple[dict[str, str], list[dict[str, Any]], dict[str, float]]:
+    """Scan one payload → (fields, spans, confidence_scores).
+
+    ``fields`` keeps the first occurrence per field name (normalized value);
+    ``spans`` records every non-overlapping occurrence as char offsets into
+    the raw payload; ``confidence_scores`` carries the deterministic validity
+    score feeding FR-013 low-confidence flagging.
+    """
+    fields: dict[str, str] = {}
+    spans: list[dict[str, Any]] = []
+    scores: dict[str, float] = {}
+    if not text or not _ANY_FIELD_HINT.search(text):
+        return fields, spans, scores
+
+    claimed: list[tuple[int, int]] = []
+    for name, pattern, normalize, is_valid in _SCANNERS:
+        for m in pattern.finditer(text):
+            start, end = m.span(1) if m.lastindex else m.span()
+            raw = text[start:end]
+            if any(start < c_end and end > c_start for c_start, c_end in claimed):
+                continue
+            claimed.append((start, end))
+            spans.append({"field": name, "start": start, "end": end})
+            if name not in fields:
+                normalized = str(normalize(raw))
+                fields[name] = normalized
+                # Confidence judges the POST-normalization value — the
+                # reference validates after normalize_dates_in_result /
+                # normalize_cpf run (extraction.py:194-206).
+                scores[name] = (
+                    VALID_CONFIDENCE if is_valid(normalized) else INVALID_CONFIDENCE
+                )
+    spans.sort(key=lambda s: (s["start"], s["end"], s["field"]))
+    return fields, spans, scores
+
+
+# ---------------------------------------------------------------------------
+# Batch kernel
+# ---------------------------------------------------------------------------
+
+OUTPUT_COLUMNS = [
+    "conv_id", "turn_idx", "role", "tool", "ts", "payload_kind",
+    "extracted_text", "fields", "spans", "confidence_scores",
+    "low_confidence_fields", "n_fields", "status",
+]
+
+# Spark-side schema string for mapInPandas (kept adjacent to OUTPUT_COLUMNS so
+# they cannot drift apart).
+OUTPUT_SCHEMA_DDL = (
+    "conv_id string, turn_idx int, role string, tool string, ts timestamp, "
+    "payload_kind string, extracted_text string, fields map<string,string>, "
+    "spans array<struct<field:string,start:int,end:int>>, "
+    "confidence_scores map<string,double>, "
+    "low_confidence_fields array<string>, n_fields int, status string"
+)
+
+
+def extract_turn(text: str | None) -> dict[str, Any]:
+    """Full per-turn pipeline on one payload (kind → content → fields →
+    confidence → flags → status). Reference analog: ``extraction.py:139-236``
+    minus the model call, plus main-content extraction."""
+    kind, content = textops.extract_main_content(text)
+    fields, spans, scores = scan_fields(text or "")
+    low_conf = F.flag_low_confidence(scores)
+    status = F.derive_status(fields, low_conf)
+    return {
+        "payload_kind": kind,
+        "extracted_text": content,
+        "fields": fields,
+        "spans": spans,
+        "confidence_scores": scores,
+        "low_confidence_fields": low_conf,
+        "n_fields": len(fields),
+        "status": status,
+    }
+
+
+def extract_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized-at-the-boundary batch kernel: pandas in → pandas out.
+
+    Row-wise work happens inside the Arrow batch (regex scanning is inherently
+    per-string); the Spark boundary sees exactly one ``mapInPandas`` crossing.
+    Per-row failures are captured into ``status='error'`` rows instead of
+    failing the task — the reference's batch error channel
+    (``cli/batch.py:155-160``).
+    """
+    n = len(batch)
+    out: dict[str, list[Any]] = {c: [None] * n for c in (
+        "payload_kind", "extracted_text", "fields", "spans",
+        "confidence_scores", "low_confidence_fields", "n_fields", "status",
+    )}
+    texts = batch["text"].tolist()
+    for i, text in enumerate(texts):
+        try:
+            row = extract_turn(text)
+        except Exception:
+            row = {
+                "payload_kind": "unknown", "extracted_text": "",
+                "fields": {}, "spans": [], "confidence_scores": {},
+                "low_confidence_fields": [], "n_fields": 0, "status": "error",
+            }
+        for key, value in row.items():
+            out[key][i] = value
+
+    result = pd.DataFrame({
+        "conv_id": batch["conv_id"].values,
+        "turn_idx": batch["turn_idx"].values,
+        "role": batch["role"].values,
+        "tool": batch["tool"].values,
+        "ts": batch["ts"].values,
+        **out,
+    })
+    return result[OUTPUT_COLUMNS]
+
+
+def extract_batches(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    """Iterator form for ``DataFrame.mapInPandas`` — one task consumes one
+    partition's Arrow batches; per-partition init (compiled regexes) is free
+    because patterns live at module import."""
+    for batch in batches:
+        if len(batch):
+            yield extract_batch(batch)
+
+
+def oracle_extract(transcripts: pd.DataFrame) -> pd.DataFrame:
+    """Single-threaded golden oracle: same kernel, whole table, stable order.
+
+    Output is sorted by (conv_id, turn_idx) — the stable-turn-ordering
+    invariant every comparison uses (SURVEY.md §7.4 risk #2).
+    """
+    out = extract_batch(transcripts)
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)

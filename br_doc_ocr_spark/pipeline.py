@@ -1,0 +1,219 @@
+"""The batch extraction job — the graft's flagship DataFrame pipeline.
+
+Reference analog: the batch fan-out executor ``cli/batch.py:24-217`` (scan →
+per-record extraction with error channel → sinks → summary), rebuilt on
+Spark's execution model per the north rule:
+
+1. scan the transcript table (parquet here; the layout is Iceberg-compatible),
+2. **salted repartition by conv_id** — extraction is per-row, so we are free
+   to break a 10^9-turn conversation across ``salt`` tasks; without salting a
+   single heavy conv_id stalls one task (SURVEY.md §4.3),
+3. exactly **one Arrow crossing**: ``mapInPandas(extract_batches)`` over the
+   shared kernel (zero per-row Python at the Spark boundary),
+4. per-partition **lineage** rows (partition id, row counts, status tallies,
+   wall-clock) — PII-free by schema (counts and timings only, NFR-005/006),
+5. **stable turn ordering** restored for the sink via range-partitioned sort
+   on (conv_id, turn_idx) — fixes the reference's nondeterministic-order bug
+   (``cli/batch.py:184-190`` writes in thread-completion order),
+6. coalesced, idempotent parquet writes.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as sf
+
+from br_doc_ocr_spark.core.extract import OUTPUT_SCHEMA_DDL, extract_batch
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+# Lineage schema (FIXTURES.md §5): no string payload columns permitted.
+LINEAGE_SCHEMA_DDL = (
+    "partition_id int, row_count long, success_count long, partial_count long, "
+    "failed_count long, error_count long, wall_clock_ms long"
+)
+EXTRACT_WITH_LINEAGE_DDL = OUTPUT_SCHEMA_DDL + ", _partition_id int, _batch_ms long"
+
+
+def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the transcript table, projecting exactly the job's columns so
+    Catalyst prunes the parquet read to them."""
+    return spark.read.parquet(path).select(*TRANSCRIPT_COLUMNS)
+
+
+def _extract_partition(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One task = one partition. Emits extraction rows tagged with the task's
+    partition id and per-batch wall-clock (first row of each batch carries the
+    batch's elapsed ms; the rest carry 0) so lineage aggregates exactly."""
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    for batch in batches:
+        if not len(batch):
+            continue
+        t0 = time.perf_counter()
+        out = extract_batch(batch)
+        elapsed_ms = int((time.perf_counter() - t0) * 1000)
+        out["_partition_id"] = pid
+        ms = [0] * len(out)
+        ms[0] = elapsed_ms
+        out["_batch_ms"] = ms
+        yield out
+
+
+def run_extraction(
+    transcripts: DataFrame,
+    salt: int = 8,
+    target_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the extraction stage → (results, lineage).
+
+    ``salt`` splits each conv_id across up to ``salt`` shuffle keys
+    (``pmod(turn_idx, salt)``) — deterministic, order-insensitive for a
+    per-row map, and it defuses long-conversation skew. ``target_partitions``
+    defaults to the session shuffle-partition conf.
+    """
+    spark = transcripts.sparkSession
+    n = target_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    salted = transcripts.repartition(
+        n, sf.col("conv_id"), sf.pmod(sf.col("turn_idx"), sf.lit(salt))
+    )
+    extracted = salted.mapInPandas(_extract_partition, schema=EXTRACT_WITH_LINEAGE_DDL)
+
+    # Lineage is an aggregation over the extraction output itself — computed
+    # in the same plan (no second scan); counts are exact, wall-clock sums the
+    # per-batch kernel timings within each partition.
+    lineage = extracted.groupBy(
+        sf.col("_partition_id").alias("partition_id")
+    ).agg(
+        sf.count("*").alias("row_count"),
+        sf.sum(sf.when(sf.col("status") == "success", 1).otherwise(0)).alias("success_count"),
+        sf.sum(sf.when(sf.col("status") == "partial", 1).otherwise(0)).alias("partial_count"),
+        sf.sum(sf.when(sf.col("status") == "failed", 1).otherwise(0)).alias("failed_count"),
+        sf.sum(sf.when(sf.col("status") == "error", 1).otherwise(0)).alias("error_count"),
+        sf.sum("_batch_ms").alias("wall_clock_ms"),
+    )
+    results = extracted.drop("_partition_id", "_batch_ms")
+    return results, lineage
+
+
+def with_stable_order(results: DataFrame) -> DataFrame:
+    """Restore per-conversation turn order for sinks/comparisons.
+
+    ``repartitionByRange`` + ``sortWithinPartitions`` gives a globally ordered
+    layout without a single-reducer sort — the window-free way to make output
+    order deterministic at any scale (SURVEY.md §2.5/§2.6 O4).
+    """
+    return results.repartitionByRange("conv_id", "turn_idx").sortWithinPartitions(
+        "conv_id", "turn_idx"
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str | None = None,
+    lineage_path: str | None = None,
+    salt: int = 8,
+    run_id: str = "run-0",
+    snapshot_id: str = "snap-0",
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end: read → salted extract → order → (optionally) write.
+
+    Writes are idempotent overwrites; lineage rows are stamped with
+    ``run_id``/``snapshot_id`` (FIXTURES.md §5) for the resume manifest.
+    """
+    transcripts = read_transcripts(spark, input_path)
+    results, lineage = run_extraction(transcripts, salt=salt)
+    ordered = with_stable_order(results)
+    lineage = lineage.select(
+        sf.lit(run_id).alias("run_id"),
+        sf.lit(snapshot_id).alias("snapshot_id"),
+        "partition_id", "row_count", "success_count", "partial_count",
+        "failed_count", "error_count", "wall_clock_ms",
+    )
+    if output_path:
+        ordered.write.mode("overwrite").parquet(output_path)
+        if lineage_path:
+            # Lineage is tiny — one row per task — coalesce to a single file.
+            lineage.coalesce(1).write.mode("append").parquet(lineage_path)
+    return ordered, lineage
+
+
+# ---------------------------------------------------------------------------
+# Flagship-query entry used by __spark_entry__.py: synthesize transcripts from
+# the driver-provided testdata (documents table → deterministic payload
+# wrapping) and run the full extraction pipeline over them.
+# ---------------------------------------------------------------------------
+
+def transcripts_from_documents(spark: SparkSession, sf_dir: str, n_convs: int = 64) -> DataFrame:
+    """Deterministically wrap /root/testdata documents into the transcript
+    shape: conv_id from a hash bucket of doc_id, payload text decorated with
+    HTML/PDF/field markup by doc_id residue. Pure column expressions."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = sf.abs(sf.xxhash64("doc_id"))
+    cpf_digits = sf.lpad((h % 99999999999).cast("string"), 11, "0")
+    cpf = sf.concat_ws(
+        "", sf.substring(cpf_digits, 1, 3), sf.lit("."),
+        sf.substring(cpf_digits, 4, 3), sf.lit("."),
+        sf.substring(cpf_digits, 7, 3), sf.lit("-"), sf.substring(cpf_digits, 10, 2),
+    )
+    date_str = sf.format_string(
+        "%02d/%02d/%04d", (h % 28 + 1).cast("int"), (h % 12 + 1).cast("int"),
+        (h % 50 + 1975).cast("int"),
+    )
+    decorated = sf.concat_ws(" ", sf.col("text"), sf.lit("CPF"), cpf,
+                             sf.lit("data"), date_str)
+    html = sf.concat(
+        sf.lit('<html><body><nav><a href="/">Home</a></nav><div id="main"><p>'),
+        decorated,
+        sf.lit('</p></div><footer><p>Copyright 2026.</p></footer></body></html>'),
+    )
+    pdf = sf.concat(sf.lit("[72,100,372,112] "), sf.col("text"),
+                    sf.lit("\n[72,120,372,132] "), decorated)
+    kind = h % 4
+    payload = (
+        sf.when(kind == 0, html)
+          .when(kind == 1, pdf)
+          .when(kind == 2, decorated)
+          .otherwise(sf.col("text"))
+    )
+    base = docs.select(
+        sf.format_string("conv-%05d", (h % n_convs).cast("int")).alias("conv_id"),
+        sf.col("doc_id"),
+        payload.alias("text"),
+        sf.element_at(
+            sf.array(sf.lit("user"), sf.lit("assistant"), sf.lit("system"), sf.lit("tool")),
+            (h % 4 + 1).cast("int"),
+        ).alias("role"),
+        sf.when(h % 4 == 3, sf.lit("browser")).otherwise(sf.lit("")).alias("tool"),
+        (sf.to_timestamp(sf.lit("2026-01-01 00:00:00"))
+         + sf.make_interval(secs=(h % 86400).cast("double"))).alias("ts"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("doc_id")
+    return base.withColumn("turn_idx", (sf.row_number().over(w) - 1).cast("int")).select(
+        *TRANSCRIPT_COLUMNS
+    )
+
+
+def flagship_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extraction pipeline over testdata-derived transcripts, summarized
+    per (status, payload_kind) — the driver's smoke target."""
+    transcripts = transcripts_from_documents(spark, sf_dir)
+    results, _ = run_extraction(transcripts, salt=4)
+    return (
+        results.groupBy("status", "payload_kind")
+        .agg(
+            sf.count("*").alias("n_turns"),
+            sf.sum("n_fields").alias("total_fields"),
+            sf.avg(sf.length("extracted_text")).alias("avg_extracted_chars"),
+        )
+        .orderBy("status", "payload_kind")
+    )

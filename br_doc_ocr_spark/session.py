@@ -1,0 +1,51 @@
+"""SparkSession factory with the scale-oriented configuration the job needs.
+
+These confs are the sandbox (local[N]) rendering of the 1000-executor design:
+AQE on (runtime re-plan, skew-join splitting, partition coalescing), Arrow on
+(the extraction kernel crosses the JVM↔Python boundary in columnar batches),
+shuffle partitions sized to the core count, and small-file control on writes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_session(
+    app_name: str = "br-doc-ocr-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # --- adaptive execution: runtime re-plan, skew defense, coalesce ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing: one partition per core at test scale; on a real
+        # cluster this scales with executor count (set via spark-submit) ---
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- Arrow: the only sanctioned Python crossing is columnar ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # --- scan sizing: 128 MiB splits, the parquet sweet spot ---
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # --- small-file control on sinks ---
+        .config("spark.sql.files.maxRecordsPerFile", "2000000")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # --- deterministic timestamp behavior across engines ---
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

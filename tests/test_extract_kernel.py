@@ -1,0 +1,95 @@
+"""Unit tests for the shared extraction kernel (scan_fields / extract_turn /
+oracle_extract) — pure pandas, no Spark."""
+
+from __future__ import annotations
+
+from br_doc_ocr_spark.core.extract import (
+    OUTPUT_COLUMNS,
+    extract_turn,
+    oracle_extract,
+    scan_fields,
+)
+from br_doc_ocr_spark.synth import GOLDEN_SNIPPETS, make_transcripts_pandas
+
+
+def test_scan_cnh_golden():
+    # conftest.py:242-264 canonical CNH record
+    fields, spans, scores = scan_fields(GOLDEN_SNIPPETS[0])
+    assert fields["cpf"] == "123.456.789-00"
+    assert fields["data"] == "1990-05-15"
+    assert fields["categoria_habilitacao"] == "AB"
+    assert all(s == 0.95 for s in scores.values())
+    cpf_span = next(s for s in spans if s["field"] == "cpf")
+    assert GOLDEN_SNIPPETS[0][cpf_span["start"]:cpf_span["end"]] == "123.456.789-00"
+
+
+def test_scan_invoice_golden():
+    fields, _, scores = scan_fields(GOLDEN_SNIPPETS[4])
+    assert fields["cnpj"] == "12.345.678/0001-90"
+    assert fields["chave_acesso"] == "35210312345678000190550010000000011000000010"
+    assert fields["valor"] == "1180.0"
+    assert fields["data"] == "2026-01-15"
+    assert scores["chave_acesso"] == 0.95
+
+
+def test_scan_rg_state_variants():
+    sp = scan_fields(GOLDEN_SNIPPETS[1])[0]
+    assert sp["registro_geral"] == "12.345.678-9"
+    assert sp["orgao_emissor"] == "SSP-SP"
+    mg = scan_fields(GOLDEN_SNIPPETS[3])[0]
+    assert mg["registro_geral"] == "MG-12.345.678"
+    assert mg["orgao_emissor"] == "PC-MG"
+
+
+def test_scan_bare_digit_runs_classified_by_length():
+    fields, _, _ = scan_fields("ids: 12345678901 e 12345678000190")
+    assert fields["cpf"] == "123.456.789-01"
+    assert fields["cnpj"] == "12.345.678/0001-90"
+
+
+def test_nfe_key_not_misread_as_cpf():
+    # 44-digit run is claimed first; no CPF/CNPJ matched inside it.
+    fields, spans, _ = scan_fields("chave 35210312345678000190550010000000011000000010 fim")
+    assert list(fields) == ["chave_acesso"]
+    assert len(spans) == 1
+
+
+def test_invalid_fields_flag_low_confidence_and_partial_status():
+    row = extract_turn("CPF 99.99 mas data 31/02/2020 valida CPF 12345678901")
+    # first cpf occurrence "99.99"? 99.99 has no 11-digit run → the valid CPF
+    # is the first cpf match; the invalid date flags low confidence.
+    assert row["fields"]["data"] == "31/02/2020"  # invalid passes through
+    assert "data" in row["low_confidence_fields"]
+    assert row["status"] == "partial"
+
+
+def test_no_fields_means_failed_status():
+    row = extract_turn("apenas texto sem campos")
+    assert row["fields"] == {} and row["status"] == "failed"
+    assert extract_turn("")["status"] == "failed"
+    assert extract_turn(None)["status"] == "failed"
+
+
+def test_spans_index_into_raw_text_even_for_html():
+    html = '<div id="main"><p>Cliente CPF 123.456.789-00 ok</p></div>'
+    row = extract_turn(html)
+    span = next(s for s in row["spans"] if s["field"] == "cpf")
+    assert html[span["start"]:span["end"]] == "123.456.789-00"
+    assert "CPF 123.456.789-00" in row["extracted_text"]
+
+
+def test_oracle_extract_stable_order_and_columns():
+    df = make_transcripts_pandas(n_convs=5, mean_turns=4, seed=7, skew_conv=False)
+    out = oracle_extract(df)
+    assert list(out.columns) == OUTPUT_COLUMNS
+    assert len(out) == len(df)
+    key = list(zip(out["conv_id"], out["turn_idx"]))
+    assert key == sorted(key)
+
+
+def test_oracle_is_deterministic():
+    df = make_transcripts_pandas(n_convs=5, mean_turns=4, seed=7, skew_conv=False)
+    a = oracle_extract(df)
+    b = oracle_extract(df.sample(frac=1.0, random_state=1))  # shuffled input
+    assert a["extracted_text"].tolist() == b["extracted_text"].tolist()
+    assert a["fields"].tolist() == b["fields"].tolist()

@@ -1,0 +1,116 @@
+"""Integration: the Spark job must equal the single-threaded pandas oracle
+per turn, byte for byte, under stable (conv_id, turn_idx) ordering — the
+north-rule correctness gate."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from br_doc_ocr_spark.core.extract import OUTPUT_COLUMNS, oracle_extract
+from br_doc_ocr_spark import pipeline
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonical form for comparison: stable order, plain-python cells."""
+    out = df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    out["fields"] = out["fields"].apply(lambda m: sorted(dict(m).items()))
+    out["spans"] = out["spans"].apply(
+        lambda xs: [(d["field"], d["start"], d["end"]) for d in xs]
+    )
+    out["confidence_scores"] = out["confidence_scores"].apply(
+        lambda m: sorted(dict(m).items())
+    )
+    out["low_confidence_fields"] = out["low_confidence_fields"].apply(list)
+    out["ts"] = pd.to_datetime(out["ts"]).dt.tz_localize(None)
+    out["n_fields"] = out["n_fields"].astype(int)
+    out["turn_idx"] = out["turn_idx"].astype(int)
+    return out[OUTPUT_COLUMNS]
+
+
+@pytest.fixture(scope="module")
+def spark_result(spark, tiny_transcripts_path, tmp_path_factory):
+    out_dir = tmp_path_factory.mktemp("out")
+    ordered, lineage = pipeline.run_pipeline(
+        spark, tiny_transcripts_path,
+        output_path=str(out_dir / "extractions.parquet"),
+        lineage_path=str(out_dir / "lineage.parquet"),
+        salt=8,
+    )
+    written = spark.read.parquet(str(out_dir / "extractions.parquet"))
+    return written.toPandas(), lineage.toPandas()
+
+
+def test_spark_matches_oracle_per_turn(spark_result, tiny_transcripts):
+    """Per-turn equality: every column, every row, after stable ordering."""
+    got, _ = spark_result
+    expected = oracle_extract(tiny_transcripts)
+    got_n = _normalize(got)
+    exp_n = _normalize(expected)
+    assert len(got_n) == len(exp_n)
+    pd.testing.assert_frame_equal(got_n, exp_n, check_dtype=False)
+
+
+def test_extracted_text_strips_boilerplate(spark_result):
+    got, _ = spark_result
+    html_rows = got[got["payload_kind"] == "html"]
+    assert len(html_rows) > 0
+    joined = "\n".join(html_rows["extracted_text"])
+    assert "newsletter" not in joined
+    assert "Copyright" not in joined
+    assert "Home" not in joined
+
+
+def test_statuses_cover_all_classes(spark_result):
+    got, _ = spark_result
+    statuses = set(got["status"])
+    # prose-only rows → failed (no fields); invalid-field rows → partial.
+    assert {"success", "failed"} <= statuses
+    assert "partial" in statuses
+    assert "error" not in statuses  # no kernel crashes on synthetic data
+
+
+def test_skewed_conversation_spreads_across_partitions(spark, tiny_transcripts_path):
+    """Salting must break conv-heavy across >1 task (SURVEY.md §4.3)."""
+    from pyspark.sql import functions as sf
+
+    transcripts = pipeline.read_transcripts(spark, tiny_transcripts_path)
+    results, lineage = pipeline.run_extraction(transcripts, salt=8)
+    parts = (
+        results.withColumn("pid", sf.spark_partition_id())
+        .filter(sf.col("conv_id") == "conv-heavy")
+        .select("pid").distinct().count()
+    )
+    assert parts > 1
+
+
+def test_lineage_counts_reconcile(spark_result, tiny_transcripts):
+    got, lineage = spark_result
+    assert lineage["row_count"].sum() == len(tiny_transcripts)
+    for status, col in [("success", "success_count"), ("partial", "partial_count"),
+                        ("failed", "failed_count")]:
+        assert lineage[col].sum() == (got["status"] == status).sum()
+    # PII-free by schema: only ids, counts, timings.
+    assert set(lineage.columns) == {
+        "run_id", "snapshot_id", "partition_id", "row_count", "success_count",
+        "partial_count", "failed_count", "error_count", "wall_clock_ms",
+    }
+
+
+def test_output_is_stably_ordered_within_files(spark_result):
+    got, _ = spark_result
+    # The written parquet, read back in file order, must already be sorted
+    # within each (conv_id) run — global sort by range partitioning.
+    heavy = got[got["conv_id"] == "conv-heavy"]["turn_idx"].tolist()
+    assert heavy == sorted(heavy)
+
+
+def test_flagship_query_runs_on_testdata(spark):
+    from tests.conftest import SF_DIR
+
+    out = pipeline.flagship_query(spark, SF_DIR)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {"status", "payload_kind", "n_turns", "total_fields",
+            "avg_extracted_chars"} == set(out.columns)
+    assert sum(r["n_turns"] for r in rows) == 500  # all sf0.001 documents
