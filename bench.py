@@ -1,0 +1,110 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The north metric is extraction throughput (turns/sec) on the transcript
+pipeline; the catalog queries cover the relational/ANN/dedup surface.
+Set SPARK_GRAFT_BENCH_SCALING=1 to also run the extraction job at two
+parallelism levels (cpus/4 vs cpus) on the SAME input and report scaling
+efficiency — the sandbox rendering of the north rule's N→4N executor
+criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# turns for the synthetic extraction-bench table, proportional to sf
+_SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+N_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", str(int(2_000_000 * _SF))))
+
+BENCH_QUERIES = [
+    "pricing_summary", "join_broadcast_agg", "join_multiway",
+    "window_topk_per_group", "window_lag_gap", "explode_tokens",
+    "fn_currency_parse", "fn_cnpj_normalize", "event_time_window",
+    "dedup_token_jaccard", "dedup_minhash_lsh", "text_quality",
+    "text_langid", "ann_cosine_topk", "ann_knn_join",
+]
+
+
+def _run_extraction(spark, input_path: str) -> tuple[float, int]:
+    from br_doc_ocr_spark import pipeline
+
+    t0 = time.perf_counter()
+    results, _ = pipeline.run_extraction(
+        pipeline.read_transcripts(spark, input_path), salt=8)
+    n = results.count()
+    return time.perf_counter() - t0, n
+
+
+def _prepare_transcripts(spark, path: str) -> None:
+    from br_doc_ocr_spark.synth import make_transcripts_spark
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        make_transcripts_spark(spark, N_TURNS, max(N_TURNS // 200, 16)) \
+            .write.mode("overwrite").parquet(path)
+
+
+def main() -> None:
+    from br_doc_ocr_spark.queries import REGISTRY
+    from br_doc_ocr_spark.session import build_session
+
+    tpath = f"/tmp/spark_graft_bench/transcripts_{N_TURNS}.parquet"
+    timings: dict[str, float] = {}
+    extra: dict[str, object] = {}
+
+    spark = build_session(app_name="bench", cpus=CPUS)
+    _prepare_transcripts(spark, tpath)
+
+    # warm the JVM/Python workers once so timings measure the plan, not init
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    elapsed, n_turns = _run_extraction(spark, tpath)
+    timings["extract_pipeline"] = round(elapsed, 3)
+    extra["extract_turns"] = n_turns
+    extra["extract_turns_per_sec"] = round(n_turns / elapsed, 1)
+
+    for name in BENCH_QUERIES:
+        qd = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = qd.fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING") == "1":
+        spark.stop()
+        low_cpus = max(CPUS // 4, 1)
+        spark_low = build_session(app_name="bench-lowpar", cpus=low_cpus)
+        elapsed_low, _ = _run_extraction(spark_low, tpath)
+        spark_low.stop()
+        spark = build_session(app_name="bench-hipar", cpus=CPUS)
+        elapsed_hi, _ = _run_extraction(spark, tpath)
+        tp_low = n_turns / elapsed_low
+        tp_hi = n_turns / elapsed_hi
+        extra["scaling"] = {
+            "cpus_low": low_cpus, "cpus_high": CPUS,
+            "turns_per_sec_low": round(tp_low, 1),
+            "turns_per_sec_high": round(tp_hi, 1),
+            "efficiency": round(tp_hi / (tp_low * (CPUS / low_cpus)), 3),
+        }
+    spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _SF,
+        **extra,
+    }))
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

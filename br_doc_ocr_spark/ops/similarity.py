@@ -1,0 +1,92 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — brute-force cosine top-k against one query vector:
+  the dot product and norms are ``aggregate``/``zip_with`` column expressions
+  (JVM, codegen); top-k is an ``orderBy ... limit`` which Spark executes as
+  per-partition partial top-k + final merge (TakeOrderedAndProject — no full
+  sort, no single-reducer bottleneck).
+- :func:`knn_join` — k-NN for *every* row of a query set via a broadcast of
+  the (small) query side + per-query window top-k.
+- :func:`ivf_topk` — the scale path: a deterministic coarse quantizer (sign
+  bits of the leading dimensions) buckets vectors at write time; a query
+  probes only its own bucket (+ optional neighbors), turning a full scan into
+  a partition-pruned one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as sf
+
+
+def dot(a: Column, b: Column) -> Column:
+    return sf.aggregate(
+        sf.zip_with(a, b, lambda x, y: x * y),
+        sf.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return sf.sqrt(sf.aggregate(a, sf.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k vs a literal query vector (the exact baseline
+    every ANN variant is verified against). Deterministic tie-break on id."""
+    q = sf.array(*[sf.lit(float(v)) for v in query_vec])
+    scored = embeddings.select(
+        sf.col(id_col),
+        sf.round(cosine(sf.col(vec_col).cast("array<double>"), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(sf.desc("cosine"), sf.asc(id_col)).limit(k)
+
+
+def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
+             q_id: str = "q_id", c_id: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """k nearest corpus rows per query row. The query side is broadcast (small
+    dim table); the corpus streams — no shuffle of the big side. Per-query
+    top-k via window row_number with deterministic ties."""
+    from pyspark.sql import Window
+
+    q = queries.select(sf.col(q_id), sf.col(vec_col).cast("array<double>").alias("qv"))
+    c = corpus.select(sf.col(c_id), sf.col(vec_col).cast("array<double>").alias("cv"))
+    scored = c.join(sf.broadcast(q)).select(
+        q_id, c_id,
+        sf.round(cosine(sf.col("cv"), sf.col("qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id).orderBy(sf.desc("cosine"), sf.asc(c_id))
+    return (scored.withColumn("rank", sf.row_number().over(w))
+            .filter(sf.col("rank") <= k))
+
+
+def ivf_bucket(vec: Column, n_bits: int = 8) -> Column:
+    """Deterministic coarse quantizer: the sign pattern of the first
+    ``n_bits`` dimensions → an integer bucket id (2^n_bits cells). At write
+    time the corpus is partitioned by this column; a probe reads one cell."""
+    bits = [
+        (sf.element_at(vec, i + 1) > 0).cast("int") * sf.lit(2 ** i)
+        for i in range(n_bits)
+    ]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total
+
+
+def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_bits: int = 8) -> DataFrame:
+    """Approximate top-k: probe only the query's quantizer cell. Recall is
+    traded for a ~2^n_bits scan reduction; verify against cosine_topk."""
+    q_bucket = sum((1 << i) for i, v in enumerate(query_vec[:n_bits]) if v > 0)
+    cell = embeddings.filter(
+        ivf_bucket(sf.col(vec_col).cast("array<double>"), n_bits) == sf.lit(q_bucket)
+    )
+    return cosine_topk(cell, query_vec, k, id_col, vec_col)

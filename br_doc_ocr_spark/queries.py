@@ -1,0 +1,828 @@
+"""Operator-parity query catalog: every SURVEY.md §2 operator family expressed
+as (a) an idiomatic Spark DataFrame query over the driver's testdata tables and
+(b) an equivalent ANSI-SQL oracle string for DuckDB.
+
+Conventions (the driver hash-compares sorted-by-name columns at sf=0.01):
+- every computed column is aliased identically in Spark and SQL;
+- every floating aggregate is ``round(x, N)`` on both sides;
+- timestamps in outputs are formatted to strings;
+- deterministic tie-breaks everywhere a limit/rank appears.
+
+Queries whose kernels are hash- or Python-based (MinHash, SimHash, rolling
+fingerprint, the extraction pipeline itself) have no SQL oracle — the driver
+records a rows-only check; their correctness gate is the pytest golden suite.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as sf
+
+from br_doc_ocr_spark.ops import dedup, similarity, textstats
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class QueryDef:
+    """One catalog entry: Spark implementation + optional DuckDB oracle SQL."""
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]
+    doc: str
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, sql: Optional[str], doc: str):
+    def wrap(fn):
+        REGISTRY[name] = QueryDef(fn=fn, sql=sql, doc=doc)
+        return fn
+    return wrap
+
+
+# ===========================================================================
+# Scans / projections / filters (SURVEY §2.1-2.2)
+# ===========================================================================
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(avg(l_quantity), 6)                                   AS avg_qty,
+           round(avg(l_discount), 6)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "A1/A2 hash aggregate with filter pushdown (TPC-H Q1 shape)")
+def q_pricing_summary(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        sf.col("l_shipdate") <= sf.lit("1998-09-01 00:00:00").cast("timestamp"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        sf.round(sf.sum("l_quantity"), 2).alias("sum_qty"),
+        sf.round(sf.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        sf.round(sf.sum(sf.col("l_extendedprice") * (1 - sf.col("l_discount"))), 2
+                 ).alias("sum_disc_price"),
+        sf.round(sf.avg("l_quantity"), 6).alias("avg_qty"),
+        sf.round(sf.avg("l_discount"), 6).alias("avg_disc"),
+        sf.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "filter_isin",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AND c_acctbal > 0
+    """,
+    "P4 membership predicate + projection (dataset_adapter.py:126-140)")
+def q_filter_isin(spark, sf_dir):
+    return (t(spark, sf_dir, "customer")
+            .filter(sf.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+                    & (sf.col("c_acctbal") > 0))
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+@register(
+    "projection_pushdown",
+    "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity >= 45",
+    "P1/P2 column pruning + predicate pushdown to the parquet scan")
+def q_projection_pushdown(spark, sf_dir):
+    return (t(spark, sf_dir, "lineitem")
+            .filter(sf.col("l_quantity") >= 45)
+            .select("l_orderkey", "l_quantity"))
+
+
+@register(
+    "status_routing",
+    """
+    SELECT CASE WHEN event_type = 'error' THEN 'failed'
+                WHEN value < 5 THEN 'partial' ELSE 'success' END AS status,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+    "P8/F23/A6 status derivation + routing counts (cli/batch.py:169-213)")
+def q_status_routing(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    status = (sf.when(sf.col("event_type") == "error", "failed")
+                .when(sf.col("value") < 5, "partial")
+                .otherwise("success"))
+    return ev.groupBy(status.alias("status")).agg(sf.count("*").alias("n"))
+
+
+# ===========================================================================
+# Joins (SURVEY §2.3)
+# ===========================================================================
+
+@register(
+    "join_broadcast_agg",
+    """
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    "J1 equi join (small dim broadcast) + hash agg (evaluation.py:59-78)")
+def q_join_broadcast_agg(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    return (orders.join(sf.broadcast(customer),
+                        orders.o_custkey == customer.c_custkey)
+            .groupBy(sf.col("c_mktsegment").alias("segment"))
+            .agg(sf.count("*").alias("n_orders"),
+                 sf.round(sf.sum("o_totalprice"), 2).alias("revenue")))
+
+
+@register(
+    "join_multiway",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY 1
+    """,
+    "multiway join with Catalyst join reordering + broadcast dims (TPC-H Q5 shape)")
+def q_join_multiway(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(sf.col("r_name").isin("ASIA", "EUROPE"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(sf.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(sf.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(sf.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy(sf.col("n_name").alias("nation"))
+            .agg(sf.round(sf.sum(sf.col("l_extendedprice") * (1 - sf.col("l_discount"))),
+                          2).alias("revenue")))
+
+
+@register(
+    "join_semi",
+    """
+    SELECT c_nationkey AS nationkey, count(*) AS n_active_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+    "left-semi join (schema↔data alignment shape, J3)")
+def q_join_semi(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .groupBy(sf.col("c_nationkey").alias("nationkey"))
+            .agg(sf.count("*").alias("n_active_customers")))
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_mktsegment AS segment, count(*) AS n_inactive
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 150000)
+    GROUP BY 1
+    """,
+    "left-anti join (resume semantics: pending = input ANTI JOIN manifest)")
+def q_join_anti(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(sf.col("o_totalprice") > 150000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy(sf.col("c_mktsegment").alias("segment"))
+            .agg(sf.count("*").alias("n_inactive")))
+
+
+@register(
+    "join_full_outer_alignment",
+    """
+    WITH cc AS (SELECT c_nationkey AS k, count(*) AS n_customers FROM customer GROUP BY 1),
+         ss AS (SELECT s_nationkey AS k, count(*) AS n_suppliers FROM supplier GROUP BY 1)
+    SELECT coalesce(cc.k, ss.k) AS nationkey,
+           coalesce(n_customers, 0) AS n_customers,
+           coalesce(n_suppliers, 0) AS n_suppliers
+    FROM cc FULL OUTER JOIN ss ON cc.k = ss.k
+    """,
+    "J2 full-outer field alignment (evaluation.py:174-191 key-union compare)")
+def q_join_full_outer(spark, sf_dir):
+    cc = (t(spark, sf_dir, "customer").groupBy(sf.col("c_nationkey").alias("k"))
+          .agg(sf.count("*").alias("n_customers")))
+    ss = (t(spark, sf_dir, "supplier").groupBy(sf.col("s_nationkey").alias("k"))
+          .agg(sf.count("*").alias("n_suppliers")))
+    return (cc.join(ss, "k", "full_outer")
+            .select(sf.col("k").alias("nationkey"),
+                    sf.coalesce("n_customers", sf.lit(0)).alias("n_customers"),
+                    sf.coalesce("n_suppliers", sf.lit(0)).alias("n_suppliers")))
+
+
+# ===========================================================================
+# Windows / sorts / top-k (SURVEY §2.5-2.6)
+# ===========================================================================
+
+@register(
+    "window_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, rank FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders) WHERE rank <= 2
+    """,
+    "O4 per-group top-k via row_number (stable-ordering window, §2.5)")
+def q_window_topk(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(sf.desc("o_totalprice"),
+                                                sf.asc("o_orderkey"))
+    return (t(spark, sf_dir, "orders")
+            .withColumn("rank", sf.row_number().over(w))
+            .filter(sf.col("rank") <= 2)
+            .select("o_custkey", "o_orderkey", "rank"))
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey), 2)
+             AS running_total
+    FROM orders
+    """,
+    "running aggregate over an ordered frame")
+def q_window_running(spark, sf_dir):
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (t(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderkey",
+                    sf.round(sf.sum("o_totalprice").over(w), 2)
+                    .alias("running_total")))
+
+
+@register(
+    "window_lag_gap",
+    """
+    SELECT user_id, round(avg(gap_s), 4) AS avg_gap_s, count(*) AS n_gaps FROM (
+      SELECT user_id,
+             date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts)::DOUBLE AS gap_s
+      FROM events)
+    WHERE gap_s IS NOT NULL GROUP BY user_id
+    """,
+    "lag window: inter-event gap per user (sessionization primitive)")
+def q_window_lag_gap(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t(spark, sf_dir, "events").withColumn(
+        "gap_s",
+        (sf.unix_timestamp("ts") - sf.unix_timestamp(sf.lag("ts").over(w)))
+        .cast("double"))
+    return (ev.filter(sf.col("gap_s").isNotNull())
+            .groupBy("user_id")
+            .agg(sf.round(sf.avg("gap_s"), 4).alias("avg_gap_s"),
+                 sf.count("*").alias("n_gaps")))
+
+
+@register(
+    "sort_report",
+    """
+    SELECT event_type, round(avg(value), 6) AS avg_value, count(*) AS n
+    FROM events GROUP BY event_type ORDER BY avg_value DESC, event_type
+    """,
+    "O1 accuracy-report sort (evaluation.py:278-282)")
+def q_sort_report(spark, sf_dir):
+    return (t(spark, sf_dir, "events").groupBy("event_type")
+            .agg(sf.round(sf.avg("value"), 6).alias("avg_value"),
+                 sf.count("*").alias("n"))
+            .orderBy(sf.desc("avg_value"), sf.asc("event_type")))
+
+
+# ===========================================================================
+# Set operations (SURVEY §2.7)
+# ===========================================================================
+
+@register(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    "U2 intersection of key sets (evaluation.py:221)")
+def q_set_intersect(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(sf.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(sf.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    """
+    SELECT p_size AS size FROM part
+    EXCEPT
+    SELECT l_linenumber FROM lineitem
+    """,
+    "U1/U3 set difference of key sets")
+def q_set_except(spark, sf_dir):
+    p = t(spark, sf_dir, "part").select(sf.col("p_size").alias("size"))
+    li = t(spark, sf_dir, "lineitem").select(sf.col("l_linenumber").alias("size"))
+    return p.subtract(li)
+
+
+@register(
+    "explode_tokens",
+    """
+    SELECT token, count(*) AS n FROM (
+      SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
+    GROUP BY token HAVING count(*) >= 5
+    """,
+    "M7 flatMap/explode 1→N + agg (multi-document explode shape)")
+def q_explode_tokens(spark, sf_dir):
+    return (t(spark, sf_dir, "part")
+            .select(sf.explode(sf.split("p_name", " ")).alias("token"))
+            .groupBy("token").agg(sf.count("*").alias("n"))
+            .filter(sf.col("n") >= 5))
+
+
+# ===========================================================================
+# Scalar function parity (SURVEY §2.8) — SQL-expressible subset
+# ===========================================================================
+
+@register(
+    "fn_cnpj_normalize",
+    """
+    SELECT o_orderkey, cnpj,
+           CASE WHEN regexp_matches(cnpj,
+                  '^[0-9]{2}\\.[0-9]{3}\\.[0-9]{3}/[0-9]{4}-[0-9]{2}$')
+                THEN 1 ELSE 0 END AS is_valid
+    FROM (
+      SELECT o_orderkey,
+             substr(d,1,2) || '.' || substr(d,3,3) || '.' || substr(d,6,3) ||
+             '/' || substr(d,9,4) || '-' || substr(d,13,2) AS cnpj
+      FROM (SELECT o_orderkey,
+                   lpad(cast(o_orderkey * 104729 % 100000000000000 AS VARCHAR),
+                        14, '0') AS d
+            FROM orders))
+    """,
+    "F4 normalize_cnpj as pure string ops (extraction.py:517-539)")
+def q_fn_cnpj_normalize(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    d = sf.lpad((sf.col("o_orderkey") * 104729 % 100000000000000).cast("string"),
+                14, "0")
+    cnpj = sf.concat_ws("", sf.substring(d, 1, 2), sf.lit("."),
+                        sf.substring(d, 3, 3), sf.lit("."),
+                        sf.substring(d, 6, 3), sf.lit("/"),
+                        sf.substring(d, 9, 4), sf.lit("-"),
+                        sf.substring(d, 13, 2))
+    return o.select(
+        "o_orderkey", cnpj.alias("cnpj"),
+        sf.when(cnpj.rlike(r"^[0-9]{2}\.[0-9]{3}\.[0-9]{3}/[0-9]{4}-[0-9]{2}$"), 1)
+          .otherwise(0).alias("is_valid"))
+
+
+@register(
+    "fn_date_normalize",
+    """
+    SELECT o_orderkey, br_date,
+           substr(br_date,7,4) || '-' || substr(br_date,4,2) || '-' ||
+           substr(br_date,1,2) AS iso_date
+    FROM (SELECT o_orderkey, strftime(o_orderdate, '%d/%m/%Y') AS br_date
+          FROM orders)
+    """,
+    "F2 normalize_date DD/MM/YYYY → ISO as string ops (test_postprocessing.py:181-203)")
+def q_fn_date_normalize(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    br = sf.date_format("o_orderdate", "dd/MM/yyyy")
+    return o.select(
+        "o_orderkey", br.alias("br_date"),
+        sf.concat_ws("-", sf.substring(br, 7, 4), sf.substring(br, 4, 2),
+                     sf.substring(br, 1, 2)).alias("iso_date"))
+
+
+@register(
+    "fn_currency_parse",
+    """
+    SELECT l_returnflag, round(sum(parsed), 2) AS total_parsed, count(*) AS n
+    FROM (
+      SELECT l_returnflag,
+             cast(replace(replace(regexp_replace(br, 'R\\$\\s*', ''),
+                                  '.', ''), ',', '.') AS DOUBLE) AS parsed
+      FROM (SELECT l_returnflag,
+                   'R$ ' || replace(printf('%.2f', l_extendedprice), '.', ',')
+                     AS br
+            FROM lineitem))
+    GROUP BY l_returnflag
+    """,
+    "F6 parse_currency Brazilian-format chain (extraction.py:542-585)")
+def q_fn_currency_parse(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    br = sf.concat(sf.lit("R$ "),
+                   sf.regexp_replace(sf.format_string("%.2f", "l_extendedprice"),
+                                     r"\.", ","))
+    parsed = sf.regexp_replace(
+        sf.regexp_replace(sf.regexp_replace(br, r"R\$\s*", ""), r"\.", ""),
+        ",", ".").cast("double")
+    return (li.select("l_returnflag", parsed.alias("parsed"))
+            .groupBy("l_returnflag")
+            .agg(sf.round(sf.sum("parsed"), 2).alias("total_parsed"),
+                 sf.count("*").alias("n")))
+
+
+@register(
+    "fn_digit_validation",
+    """
+    SELECT n_digits, count(*) AS n FROM (
+      SELECT length(regexp_replace(s, '[^0-9]', '', 'g')) AS n_digits
+      FROM (SELECT p_name || ' ' || cast(p_partkey AS VARCHAR) || ' x' ||
+                   cast(p_size AS VARCHAR) AS s FROM part))
+    GROUP BY n_digits
+    """,
+    "F12/F13 digit-count validation core (validate_cnpj / validate_nfe_key)")
+def q_fn_digit_validation(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    s = sf.concat_ws(" ", sf.col("p_name"), sf.col("p_partkey").cast("string"),
+                     sf.concat(sf.lit("x"), sf.col("p_size").cast("string")))
+    return (p.select(sf.length(sf.regexp_replace(s, "[^0-9]", "")).alias("n_digits"))
+            .groupBy("n_digits").agg(sf.count("*").alias("n")))
+
+
+@register(
+    "fn_invoice_totals",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN abs(total - (produtos + impostos)) <= 0.01
+                    THEN 1 ELSE 0 END) AS n_valid,
+           sum(CASE WHEN abs(total - (produtos + impostos)) > 0.01
+                    THEN 1 ELSE 0 END) AS n_invalid
+    FROM (
+      SELECT l_returnflag,
+             l_extendedprice AS produtos,
+             round(l_extendedprice * l_tax, 2) AS impostos,
+             -- diff is exactly 0.00 or 0.05 (mod 1e-13 FP noise): far from
+             -- the 0.01 tolerance boundary, so both engines agree
+             l_extendedprice + round(l_extendedprice * l_tax, 2)
+               + (CASE WHEN l_discount > 0.05 THEN 0.05 ELSE 0.0 END) AS total
+      FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+    "F14 validate_invoice_totals tolerance check (extraction.py:640-674)")
+def q_fn_invoice_totals(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    produtos = sf.col("l_extendedprice")
+    impostos = sf.round(sf.col("l_extendedprice") * sf.col("l_tax"), 2)
+    total = (produtos + impostos
+             + sf.when(sf.col("l_discount") > 0.05, 0.05).otherwise(0.0))
+    valid = sf.abs(total - (produtos + impostos)) <= 0.01
+    return (li.select("l_returnflag", valid.alias("valid"))
+            .groupBy("l_returnflag")
+            .agg(sf.sum(sf.when(sf.col("valid"), 1).otherwise(0)).alias("n_valid"),
+                 sf.sum(sf.when(~sf.col("valid"), 1).otherwise(0)).alias("n_invalid")))
+
+
+@register(
+    "fn_json_extract",
+    """
+    SELECT event_type, round(avg(cast(json_extract_string(props, '$.k')
+                                      AS DOUBLE)), 6) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    "F16 JSON payload parsing (parse_vlm_output analog) via from_json path")
+def q_fn_json_extract(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (ev.select("event_type",
+                      sf.get_json_object("props", "$.k").cast("double").alias("k"))
+            .groupBy("event_type")
+            .agg(sf.round(sf.avg("k"), 6).alias("avg_k")))
+
+
+@register(
+    "deterministic_split",
+    """
+    SELECT CASE WHEN o_orderkey % 10 < 8 THEN 'train'
+                WHEN o_orderkey % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+    "M12 deterministic 80/10/10 split (hash-residue variant — exact-membership "
+    "parity unlike Bernoulli randomSplit, SURVEY §7.4 risk #4)")
+def q_deterministic_split(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    split = (sf.when(sf.col("o_orderkey") % 10 < 8, "train")
+               .when(sf.col("o_orderkey") % 10 == 8, "val").otherwise("test"))
+    return (o.groupBy(split.alias("split"))
+            .agg(sf.count("*").alias("n"),
+                 sf.round(sf.sum("o_totalprice"), 2).alias("total")))
+
+
+@register(
+    "event_time_window",
+    """
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    "§2.10 event-time tumbling window aggregate (batch rendering of the "
+    "Structured Streaming windowed agg)")
+def q_event_time_window(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (ev.groupBy(sf.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(sf.count("*").alias("n"),
+                 sf.round(sf.sum("value"), 2).alias("total_value"))
+            .select(sf.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    "event_type", "n", "total_value"))
+
+
+@register(
+    "low_confidence_flags",
+    """
+    SELECT user_id, list_sort(list(DISTINCT event_type)) AS low_types FROM (
+      SELECT user_id, event_type, avg(value) AS avg_v
+      FROM events GROUP BY user_id, event_type HAVING avg(value) < 50)
+    GROUP BY user_id
+    """,
+    "P7/F17 flag_low_confidence shape: keys whose score < threshold → sorted list")
+def q_low_confidence_flags(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    low = (ev.groupBy("user_id", "event_type").agg(sf.avg("value").alias("avg_v"))
+           .filter(sf.col("avg_v") < 50))
+    return (low.groupBy("user_id")
+            .agg(sf.array_sort(sf.collect_set("event_type")).alias("low_types")))
+
+
+# ===========================================================================
+# Text analysis (training-data ops)
+# ===========================================================================
+
+@register(
+    "text_token_stats",
+    """
+    SELECT lang, round(avg(len(string_split_regex(trim(text), '\\s+'))), 6)
+             AS avg_tokens,
+           max(len(string_split_regex(trim(text), '\\s+'))) AS max_tokens,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+    "token counting per language")
+def q_text_token_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (d.select("lang", textstats.token_count(sf.col("text")).alias("nt"))
+            .groupBy("lang")
+            .agg(sf.round(sf.avg("nt"), 6).alias("avg_tokens"),
+                 sf.max("nt").alias("max_tokens"),
+                 sf.count("*").alias("n_docs")))
+
+
+@register(
+    "text_quality",
+    """
+    SELECT source, round(avg(q), 6) AS avg_quality, count(*) AS n FROM (
+      SELECT source,
+        round(least(len(string_split_regex(trim(text), '\\s+')) / 64.0, 1.0) * 0.4
+        + (1.0 - least(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                       / greatest(length(text), 1) * 5, 1.0)) * 0.3
+        + least((len(string_split_regex(' ' || lower(text) || ' ', '\\sthe\\s')) - 1
+               + len(string_split_regex(' ' || lower(text) || ' ', '\\sa\\s')) - 1
+               + len(string_split_regex(' ' || lower(text) || ' ', '\\sof\\s')) - 1
+               + len(string_split_regex(' ' || lower(text) || ' ', '\\sand\\s')) - 1
+               + len(string_split_regex(' ' || lower(text) || ' ', '\\sto\\s')) - 1
+               + len(string_split_regex(' ' || lower(text) || ' ', '\\sin\\s')) - 1
+               )::DOUBLE
+               / greatest(len(string_split_regex(trim(text), '\\s+')), 1) * 4.0,
+               1.0) * 0.3, 6) AS q
+      FROM documents)
+    GROUP BY source
+    """,
+    "quality scoring: length/punct/stopword ratio filter")
+def q_text_quality(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (d.select("source", textstats.quality_score(sf.col("text")).alias("q"))
+            .groupBy("source")
+            .agg(sf.round(sf.avg("q"), 6).alias("avg_quality"),
+                 sf.count("*").alias("n")))
+
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT lang, source, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY lang, source HAVING count(*) > 1
+    """,
+    "exact dedup via hash group-by (file_hash unique-key semantics, data-model.md:50)")
+def q_dedup_exact_groups(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (d.groupBy("lang", "source")
+            .agg(sf.min("doc_id").alias("keeper_id"),
+                 sf.count("*").alias("n_copies"))
+            .filter(sf.col("n_copies") > 1))
+
+
+@register(
+    "dedup_token_jaccard",
+    """
+    WITH corpus AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' zz mutation token' FROM documents
+      WHERE doc_id % 5 = 0
+    ), toks AS (
+      SELECT id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM corpus)
+    SELECT * FROM (
+      SELECT a.id AS id_a, b.id AS id_b,
+             round(len(list_intersect(a.tok, b.tok))::DOUBLE
+                   / len(list_distinct(a.tok || b.tok)), 6) AS jaccard
+      FROM toks a JOIN toks b ON b.id = a.id + 1000000)
+    WHERE jaccard >= 0.5
+    """,
+    "n-gram/token Jaccard near-dup verify on a synthetic mutated corpus")
+def q_dedup_token_jaccard(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    mutated = d.filter(sf.col("doc_id") % 5 == 0).select(
+        (sf.col("doc_id") + 1000000).alias("id"),
+        sf.concat(sf.col("text"), sf.lit(" zz mutation token")).alias("text"))
+    corpus = d.select(sf.col("doc_id").alias("id"), "text").unionByName(mutated)
+    toks = corpus.select(
+        "id", sf.array_distinct(sf.split(sf.lower(sf.trim("text")), r"\s+")).alias("tok"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    jac = sf.round(
+        sf.size(sf.array_intersect(sf.col("a.tok"), sf.col("b.tok"))) /
+        sf.size(sf.array_union(sf.col("a.tok"), sf.col("b.tok"))), 6)
+    return (a.join(b, sf.col("b.id") == sf.col("a.id") + 1000000)
+            .select(sf.col("a.id").alias("id_a"), sf.col("b.id").alias("id_b"),
+                    jac.alias("jaccard"))
+            .filter(sf.col("jaccard") >= 0.5))
+
+
+# ===========================================================================
+# Similarity search (embeddings)
+# ===========================================================================
+
+def _query_vector(spark, sf_dir) -> list[float]:
+    row = (t(spark, sf_dir, "embeddings").filter(sf.col("vec_id") == 0)
+           .select("embedding").first())
+    return [float(x) for x in row[0]]
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cosine
+    FROM embeddings, q
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+    "brute-force cosine top-k (exact ANN baseline; TakeOrderedAndProject — "
+    "partial top-k per partition, no global sort)")
+def q_ann_cosine_topk(spark, sf_dir):
+    qv = _query_vector(spark, sf_dir)
+    return similarity.cosine_topk(t(spark, sf_dir, "embeddings"), qv, k=10)
+
+
+@register(
+    "ann_ivf_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    bucketed AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings),
+    qb AS (SELECT (CASE WHEN qv[1] > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN qv[2] > 0 THEN 2 ELSE 0 END
+                 + CASE WHEN qv[3] > 0 THEN 4 ELSE 0 END
+                 + CASE WHEN qv[4] > 0 THEN 8 ELSE 0 END) AS qbucket FROM q)
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cosine
+    FROM bucketed, q, qb WHERE bucket = qbucket
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+    "IVF-bucketed ANN: sign-bit coarse quantizer prunes the scan to one cell")
+def q_ann_ivf_topk(spark, sf_dir):
+    qv = _query_vector(spark, sf_dir)
+    return similarity.ivf_topk(t(spark, sf_dir, "embeddings"), qv, k=10, n_bits=4)
+
+
+@register(
+    "ann_knn_join",
+    """
+    WITH queries AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                     FROM embeddings WHERE vec_id < 3)
+    SELECT q_id, vec_id, cosine, rank FROM (
+      SELECT q.q_id, e.vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine,
+             row_number() OVER (PARTITION BY q.q_id
+                                ORDER BY round(list_cosine_similarity(
+                                  e.embedding::DOUBLE[], q.qv), 6) DESC,
+                                e.vec_id ASC) AS rank
+      FROM embeddings e, queries q)
+    WHERE rank <= 5
+    """,
+    "k-NN join: broadcast small query side over the streaming corpus")
+def q_ann_knn_join(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(sf.col("vec_id") < 3).select(
+        sf.col("vec_id").alias("q_id"), "embedding")
+    return similarity.knn_join(queries, emb, k=5)
+
+
+# ===========================================================================
+# Rows-only entries (hash-/kernel-based — no SQL oracle; gated by pytest
+# goldens instead; the driver records a rows-only check)
+# ===========================================================================
+
+@register(
+    "extract_pipeline_summary", None,
+    "flagship: full extraction pipeline over testdata-derived transcripts")
+def q_extract_pipeline_summary(spark, sf_dir):
+    from br_doc_ocr_spark.pipeline import flagship_query
+    return flagship_query(spark, sf_dir)
+
+
+@register(
+    "extract_field_counts", None,
+    "extraction kernel: explode per-turn fields map, count per field name")
+def q_extract_field_counts(spark, sf_dir):
+    from br_doc_ocr_spark.pipeline import run_extraction, transcripts_from_documents
+    results, _ = run_extraction(transcripts_from_documents(spark, sf_dir), salt=4)
+    return (results.select(sf.explode(sf.map_keys("fields")).alias("field"))
+            .groupBy("field").agg(sf.count("*").alias("n"))
+            .orderBy("field"))
+
+
+@register(
+    "dedup_minhash_lsh", None,
+    "MinHash+LSH near-dup pairs (shingle→minhash→band→bucket join) on the "
+    "mutated corpus; verified vs exact Jaccard in tests/test_ops.py")
+def q_dedup_minhash_lsh(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    mutated = d.filter(sf.col("doc_id") % 5 == 0).select(
+        (sf.col("doc_id") + 1000000).alias("doc_id"),
+        sf.concat(sf.col("text"), sf.lit(" zz mutation token")).alias("text"))
+    corpus = d.select("doc_id", "text").unionByName(mutated)
+    return (dedup.minhash_near_duplicates(corpus, threshold=0.5)
+            .orderBy("id_a", "id_b"))
+
+
+@register(
+    "dedup_simhash", None,
+    "SimHash near-dup pairs (64-bit signature, 16-bit-chunk pigeonhole join)")
+def q_dedup_simhash(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    mutated = d.filter(sf.col("doc_id") % 5 == 0).select(
+        (sf.col("doc_id") + 1000000).alias("doc_id"),
+        sf.concat(sf.col("text"), sf.lit(" zz")).alias("text"))
+    corpus = d.select("doc_id", "text").unionByName(mutated)
+    return (dedup.simhash_near_duplicates(corpus, max_hamming=3)
+            .orderBy("id_a", "id_b"))
+
+
+@register(
+    "text_fingerprint", None,
+    "rolling-hash document fingerprints (Arrow kernel) — distinct count per lang")
+def q_text_fingerprint(spark, sf_dir):
+    d = textstats.with_fingerprint(t(spark, sf_dir, "documents"))
+    return (d.groupBy("lang")
+            .agg(sf.countDistinct("fingerprint").alias("n_distinct"),
+                 sf.count("*").alias("n_docs")))
+
+
+@register(
+    "text_langid", None,
+    "language-ID stopword heuristic vs the lang label — accuracy per lang")
+def q_text_langid(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    pred = textstats.predict_lang(sf.col("text"))
+    return (d.select("lang", pred.alias("lang_pred"))
+            .groupBy("lang")
+            .agg(sf.round(sf.avg((sf.col("lang_pred") == sf.col("lang"))
+                                 .cast("double")), 6).alias("accuracy"),
+                 sf.count("*").alias("n")))
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}

@@ -1,0 +1,163 @@
+"""Tests for dedup / similarity / textstats operators, incl. the LSH-vs-exact
+verification that gates the rows-only catalog entries."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as sf
+
+from br_doc_ocr_spark.ops import dedup, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+        (2, "completely different content about spark query engines and shuffles"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (4, "el rapido zorro marron salta sobre el perro perezoso junto al rio"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["keeper_id"] == 0 and groups[0]["n_copies"] == 2
+    kept = dedup.drop_exact_duplicates(docs)
+    assert kept.count() == 4
+    assert kept.filter(sf.col("doc_id") == 3).count() == 0  # max-id copy dropped
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0     # exact dup
+    assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1  # near dup
+    assert not any({a, b} & {2} and {a, b} & {0, 1, 3} for a, b in pairs)
+
+
+def test_minhash_lsh_finds_what_exact_jaccard_finds(docs):
+    """LSH candidates + verify must reproduce the exact O(n²) result for
+    high-similarity pairs (the standard banding guarantee at s≥0.5 with
+    32 hashes / 8 bands is ~1-(1-0.5^4)^8 ≈ 0.42 per pair — so assert on the
+    exact-dup pair, and near-dup recall on this corpus specifically)."""
+    exact = {(r["id_a"], r["id_b"])
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in dedup.minhash_near_duplicates(docs, threshold=0.5).collect()}
+    assert (0, 3) in lsh             # identical docs always collide
+    assert lsh <= exact              # verify step guarantees no false positives
+
+
+def test_minhash_est_similarity_for_identical_docs(docs):
+    cands = dedup.minhash_lsh_candidates(docs).collect()
+    est = {(r["id_a"], r["id_b"]): r["est_similarity"] for r in cands}
+    assert est[(0, 3)] == 1.0
+
+
+def test_simhash_near_duplicates(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_near_duplicates(docs, max_hamming=3).collect()}
+    assert pairs[(0, 3)] == 0        # identical → identical signature
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_simhash_kernel_is_locality_sensitive():
+    a = dedup._simhash64("the quick brown fox jumps over the lazy dog".split())
+    b = dedup._simhash64("the quick brown fox jumps over the lazy cat".split())
+    c = dedup._simhash64("astronomia quantica nas montanhas geladas".split())
+    ham_ab = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    ham_ac = bin((a ^ c) & ((1 << 64) - 1)).count("1")
+    assert ham_ab < ham_ac
+
+
+# --- similarity --------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+        (4, [1.0, 0.05, 0.0, 0.0]),  # closest to 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact(vectors):
+    top = similarity.cosine_topk(vectors, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top] == [0, 4, 1]
+    assert top[0]["cosine"] == 1.0
+    expected = 0.9 / math.sqrt(0.81 + 0.01)
+    assert top[2]["cosine"] == pytest.approx(expected, abs=1e-6)
+
+
+def test_knn_join_per_query_topk(vectors):
+    queries = vectors.filter(sf.col("vec_id") < 2).select(
+        sf.col("vec_id").alias("q_id"), "embedding")
+    out = similarity.knn_join(queries, vectors, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r["vec_id"])
+    assert by_q[0] == [0, 4]
+    # for q=1, vec 4 ([1,0.05]) is angularly closer than vec 0 ([1,0])
+    assert by_q[1] == [1, 4]
+
+
+def test_ivf_topk_prunes_to_query_cell(vectors):
+    # quantizer bit i set iff dim i > 0: [1,0,0,0] → bucket 1 (only vec 0);
+    # [1,0.05,0,0] → bucket 3 (vecs 1 and 4)
+    out = similarity.ivf_topk(vectors, [1.0, 0.0, 0.0, 0.0], k=10, n_bits=4)
+    assert {r["vec_id"] for r in out.collect()} == {0}
+    out = similarity.ivf_topk(vectors, [1.0, 0.05, 0.0, 0.0], k=10, n_bits=4)
+    assert {r["vec_id"] for r in out.collect()} == {1, 4}
+
+
+# --- textstats ---------------------------------------------------------------
+
+def test_token_count_and_punct(spark):
+    df = spark.createDataFrame(
+        [("one two  three",), ("",), ("a, b! c?",)], "text string")
+    rows = df.select(
+        textstats.token_count(sf.col("text")).alias("n"),
+        textstats.punct_ratio(sf.col("text")).alias("p"),
+    ).collect()
+    assert [r["n"] for r in rows] == [3, 0, 3]
+    assert rows[0]["p"] == 0.0
+    assert rows[2]["p"] == pytest.approx(3 / 8, abs=1e-6)
+
+
+def test_predict_lang(spark):
+    df = spark.createDataFrame([
+        ("the cat sat on the mat and looked at the dog",),
+        ("el perro y el gato de la casa que ladra",),
+        ("der hund und die katze sind von das haus",),
+        ("xyzzy plugh quux",),
+    ], "text string")
+    out = [r[0] for r in df.select(textstats.predict_lang(sf.col("text"))).collect()]
+    assert out == ["en", "es", "de", "und"]
+
+
+def test_quality_score_ordering(spark):
+    df = spark.createDataFrame([
+        ("the report of the analysis and the data in the table of results "
+         * 6,),                                  # long, stopword-rich
+        ("!!! ??? ### $$$ %%%",),                # punctuation garbage
+    ], "text string")
+    scores = [r[0] for r in df.select(
+        textstats.quality_score(sf.col("text"))).collect()]
+    assert scores[0] > scores[1]
+
+
+def test_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "abc"), (3, "abd")],
+                               "doc_id long, text string")
+    rows = textstats.with_fingerprint(df).collect()
+    fp = {r["doc_id"]: r["fingerprint"] for r in rows}
+    assert fp[1] == fp[2] != fp[3]
+    assert fp[1] == textstats._fingerprint_str("abc")

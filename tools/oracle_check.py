@@ -1,0 +1,111 @@
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Runs every catalog query via Spark AND its oracle SQL via DuckDB over the same
+parquet tables, then compares row count, column-name set, and an
+order-insensitive value multiset (columns sorted by name, floats rounded).
+
+Usage: PYTHONPATH=/root/repo python tools/oracle_check.py [--sf DIR] [names...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def canonicalize(df: pd.DataFrame) -> tuple[int, list[str], list[tuple]]:
+    cols = sorted(df.columns)
+    out = df[cols].copy()
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return None
+        if isinstance(v, float):
+            return round(v, 6)
+        if hasattr(v, "isoformat"):
+            return v.isoformat().replace("+00:00", "")
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return tuple(norm(x) for x in v)
+        if isinstance(v, (int,)):
+            return int(v)
+        try:
+            import numpy as np
+            if isinstance(v, np.integer):
+                return int(v)
+            if isinstance(v, np.floating):
+                return round(float(v), 6)
+        except ImportError:
+            pass
+        return v
+
+    rows = sorted((tuple(norm(v) for v in row) for row in out.itertuples(index=False)),
+                  key=lambda r: tuple(str(x) for x in r))
+    return len(df), cols, rows
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = "/root/testdata/sf0.01"
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            sf_dir = a.split("=", 1)[1]
+
+    from br_doc_ocr_spark.session import build_session
+    from br_doc_ocr_spark.queries import REGISTRY
+
+    spark = build_session(app_name="oracle-check", cpus=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+
+    names = args or list(REGISTRY)
+    failures = []
+    for name in names:
+        qd = REGISTRY[name]
+        try:
+            got = qd.fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:160]}")
+            continue
+        if qd.sql is None:
+            status = "ROWS-ONLY" if len(got) > 0 else "ROWS-ONLY(EMPTY!)"
+            print(f"{status:>9}  {name}: {len(got)} rows")
+            if len(got) == 0:
+                failures.append(name)
+            continue
+        try:
+            exp = con.execute(qd.sql).fetchdf()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {str(e).splitlines()[0][:160]}")
+            continue
+        ng, cg, rg = canonicalize(got)
+        ne, ce, re_ = canonicalize(exp)
+        if cg != ce:
+            failures.append(name)
+            print(f"FAIL  {name}: columns spark={cg} duckdb={ce}")
+        elif ng != ne:
+            failures.append(name)
+            print(f"FAIL  {name}: rows spark={ng} duckdb={ne}")
+        elif rg != re_:
+            failures.append(name)
+            diff = [(a, b) for a, b in zip(rg, re_) if a != b][:3]
+            print(f"FAIL  {name}: values differ, first diffs: {diff}")
+        else:
+            print(f"OK    {name}: {ng} rows")
+    spark.stop()
+    print(f"\n{len(names) - len(failures)}/{len(names)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
