@@ -1,0 +1,155 @@
+"""Manifest-based resumable runs (the north rule's "resumable from Iceberg
+snapshot checkpoints" — rendered over parquet because the sandbox ships no
+Iceberg jars; the layout is Iceberg-compatible: a stable bucket partition
+spec, snapshot ids in the manifest and lineage, idempotent
+overwrite-by-partition writes).
+
+Reference analog: checkpoint/resume in ``services/training.py:246-303``
+(``save_checkpoint`` / resume-from-latest, ``save_total_limit``) generalized
+to data-parallel batch semantics:
+
+- the input is bucketed by ``pmod(xxhash64(conv_id), n_buckets)`` — a
+  deterministic, data-independent partition spec (same conv always lands in
+  the same bucket, so a resume never splits a conversation's turns across a
+  done/pending boundary);
+- each completed bucket's output is written under ``bucket=<k>/`` via dynamic
+  partition overwrite (idempotent: re-running a bucket replaces, never
+  duplicates);
+- a JSON manifest records completed buckets per snapshot; on resume, pending
+  work = all buckets ANTI-JOIN manifest (driver-side set difference — the
+  manifest is tiny);
+- lineage rows carry the snapshot id (FIXTURES.md §5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as sf
+
+from br_doc_ocr_spark.pipeline import (
+    read_transcripts,
+    run_extraction,
+    with_stable_order,
+)
+
+BUCKET_COL = "bucket"
+
+
+@dataclass
+class Manifest:
+    """Snapshot manifest: which buckets of which run are complete."""
+
+    path: str
+    run_id: str = "run-0"
+    n_buckets: int = 16
+    completed: dict[str, list[int]] = field(default_factory=dict)  # snapshot → buckets
+
+    @classmethod
+    def load_or_create(cls, path: str, run_id: str, n_buckets: int) -> "Manifest":
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                data = json.load(f)
+            if data["n_buckets"] != n_buckets or data["run_id"] != run_id:
+                raise ValueError(
+                    f"manifest at {path} belongs to run {data['run_id']} with "
+                    f"{data['n_buckets']} buckets; refusing to mix partition specs")
+            m = cls(path=path, run_id=run_id, n_buckets=n_buckets)
+            m.completed = {k: list(v) for k, v in data["completed"].items()}
+            return m
+        return cls(path=path, run_id=run_id, n_buckets=n_buckets)
+
+    def completed_buckets(self) -> set[int]:
+        done: set[int] = set()
+        for buckets in self.completed.values():
+            done.update(buckets)
+        return done
+
+    def pending_buckets(self) -> list[int]:
+        return sorted(set(range(self.n_buckets)) - self.completed_buckets())
+
+    def record_snapshot(self, snapshot_id: str, buckets: list[int]) -> None:
+        self.completed[snapshot_id] = sorted(buckets)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"run_id": self.run_id, "n_buckets": self.n_buckets,
+                       "completed": self.completed}, f, indent=2)
+        os.replace(tmp, self.path)  # atomic publish — crash-safe
+
+
+def bucket_of(conv_id_col, n_buckets: int):
+    return sf.pmod(sf.xxhash64(conv_id_col), sf.lit(n_buckets)).cast("int")
+
+
+def run_resumable(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    manifest_path: str,
+    lineage_path: str | None = None,
+    n_buckets: int = 16,
+    run_id: str = "run-0",
+    salt: int = 8,
+    max_buckets_per_snapshot: int | None = None,
+) -> dict:
+    """Process pending buckets, snapshot the manifest, return a summary.
+
+    ``max_buckets_per_snapshot`` bounds one invocation's work (simulates an
+    interrupted run; production analog: one Iceberg snapshot commit per group
+    of completed partitions). Call again to resume — completed buckets are
+    never re-read thanks to bucket-column partition pruning on the filter.
+    """
+    t_start = time.perf_counter()
+    manifest = Manifest.load_or_create(manifest_path, run_id, n_buckets)
+    pending = manifest.pending_buckets()
+    if max_buckets_per_snapshot is not None:
+        pending = pending[:max_buckets_per_snapshot]
+    if not pending:
+        return {"processed_buckets": [], "pending_after": [], "rows": 0}
+
+    snapshot_id = f"snap-{len(manifest.completed):05d}"
+    transcripts = read_transcripts(spark, input_path).withColumn(
+        BUCKET_COL, bucket_of(sf.col("conv_id"), n_buckets))
+    todo = transcripts.filter(sf.col(BUCKET_COL).isin([int(b) for b in pending]))
+
+    results, lineage = run_extraction(todo.drop(BUCKET_COL), salt=salt)
+    ordered = with_stable_order(results).withColumn(
+        BUCKET_COL, bucket_of(sf.col("conv_id"), n_buckets))
+
+    # Idempotent per-bucket publish: dynamic partition overwrite replaces
+    # exactly the buckets written here, leaving completed ones untouched.
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (ordered.write.mode("overwrite").partitionBy(BUCKET_COL)
+         .parquet(output_path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+
+    n_rows = 0
+    if lineage_path:
+        lineage_rows = lineage.select(
+            sf.lit(run_id).alias("run_id"),
+            sf.lit(snapshot_id).alias("snapshot_id"),
+            "partition_id", "row_count", "success_count", "partial_count",
+            "failed_count", "error_count", "wall_clock_ms",
+        )
+        lineage_pd = lineage_rows.toPandas()
+        n_rows = int(lineage_pd["row_count"].sum())
+        spark.createDataFrame(lineage_pd).coalesce(1).write.mode("append") \
+            .parquet(lineage_path)
+
+    # The manifest commits LAST — a crash before this line leaves the buckets
+    # unrecorded and they are simply re-overwritten on resume (idempotent).
+    manifest.record_snapshot(snapshot_id, pending)
+    return {
+        "processed_buckets": pending,
+        "pending_after": manifest.pending_buckets(),
+        "snapshot_id": snapshot_id,
+        "rows": n_rows,
+        "wall_clock_s": round(time.perf_counter() - t_start, 3),
+    }

@@ -43,41 +43,60 @@ def _valid_date(normalized: str) -> bool:
     )
 
 
-# (field, compiled pattern, normalizer, validator) in claim-priority order.
-_SCANNERS: list[tuple[str, re.Pattern[str], Any, Any]] = [
-    ("chave_acesso",
-     re.compile(r"(?<!\d)\d{44}(?!\d)"),
-     lambda s: F.validate_nfe_key(s).get("normalized", s),
-     lambda s: F.validate_nfe_key(s)["valid"]),
-    ("cnpj",
-     re.compile(r"(?<!\d)\d{2}\.\d{3}\.\d{3}/\d{4}-\d{2}(?!\d)|(?<!\d)\d{14}(?!\d)"),
-     F.normalize_cnpj,
-     lambda s: F.validate_cnpj(s)["valid"]),
-    ("cpf",
-     re.compile(r"(?<!\d)\d{3}\.\d{3}\.\d{3}-\d{2}(?!\d)|(?<!\d)\d{11}(?!\d)"),
-     F.normalize_cpf,
-     F.is_valid_cpf_format),
-    ("registro_geral",
-     re.compile(r"\bMG-\d{2}\.\d{3}\.\d{3}\b|(?<!\d)\d{2}\.\d{3}\.\d{3}-\d(?![\d-])"),
-     F.normalize_rg,
-     lambda s: F.validate_rg_number(s)["valid"]),
-    ("orgao_emissor",
-     re.compile(r"\b(?:SSP|DETRAN|PC|IFP|SDS|SESP|IGP)-[A-Z]{2}\b|\bIIRGD\b"),
-     lambda s: s.strip().upper(),
-     F.validate_orgao_emissor),
-    ("categoria_habilitacao",
-     re.compile(r"[Cc]ategoria[:\s]+\b(ACC|AB|AC|AD|AE|BC|BD|BE|CD|CE|DE|[A-E])\b"),
-     lambda s: s,
-     lambda s: s in F.CNH_CATEGORIES),
-    ("data",
-     re.compile(r"(?<![\d/])\d{2}/\d{2}/\d{4}(?![\d/])|(?<![\d-])\d{4}-\d{2}-\d{2}(?![\d-])"),
-     F.normalize_date,
-     _valid_date),
-    ("valor",
-     re.compile(r"R\$\s?\d{1,3}(?:\.\d{3})*(?:,\d{2})?|R\$\s?\d+(?:[.,]\d+)?"),
-     lambda s: (lambda v: str(v) if v is not None else s)(F.parse_currency(s)),
-     lambda s: F.parse_currency(s) is not None),
+# Per-field (normalizer, validator); matching is done by ONE combined
+# alternation pass (named groups) — 8 separate finditer scans profiled as the
+# kernel's dominant cost. Alternation order encodes claim priority at equal
+# positions (an NFe 44-digit run wins over the CPF 11-digit rule via the
+# digit-run lookarounds).
+_FIELD_FNS: dict[str, tuple[Any, Any]] = {
+    "chave_acesso": (lambda s: F.validate_nfe_key(s).get("normalized", s),
+                     lambda s: F.validate_nfe_key(s)["valid"]),
+    "cnpj": (F.normalize_cnpj, lambda s: F.validate_cnpj(s)["valid"]),
+    "cpf": (F.normalize_cpf, F.is_valid_cpf_format),
+    "registro_geral": (F.normalize_rg, lambda s: F.validate_rg_number(s)["valid"]),
+    "orgao_emissor": (lambda s: s.strip().upper(), F.validate_orgao_emissor),
+    "categoria_habilitacao": (lambda s: s, lambda s: s in F.CNH_CATEGORIES),
+    "data": (F.normalize_date, _valid_date),
+    "valor": (lambda s: (lambda v: str(v) if v is not None else s)(F.parse_currency(s)),
+              lambda s: F.parse_currency(s) is not None),
+}
+
+# Stage 1 — candidate tokenizer: maximal digit-ish tokens (digits joined by
+# ./-/), currency, issuer acronyms, MG-prefixed RG, categoria-with-context.
+# Every branch leads with a concrete character class, so the regex engine
+# skips non-candidate positions fast (no lookarounds at branch heads).
+_CANDIDATE = re.compile(
+    r"R\$\s?\d(?:[\d.,]*\d)?"
+    r"|MG-\d{2}\.\d{3}\.\d{3}\b"
+    r"|\d(?:[\d./-]*\d)?"
+    r"|\b(?:SSP|DETRAN|PC|IFP|SDS|SESP|IGP)-[A-Z]{2}\b|\bIIRGD\b"
+    r"|[Cc]ategoria[:\s]+\b(?P<cat>ACC|AB|AC|AD|AE|BC|BD|BE|CD|CE|DE|[A-E])\b"
+)
+
+# Stage 2 — anchored classification of a candidate token (fullmatch on short
+# strings is orders cheaper than positional scanning).
+_CLASSIFIERS: list[tuple[str, re.Pattern[str]]] = [
+    ("chave_acesso", re.compile(r"\d{44}")),
+    ("cnpj", re.compile(r"\d{2}\.\d{3}\.\d{3}/\d{4}-\d{2}|\d{14}")),
+    ("cpf", re.compile(r"\d{3}\.\d{3}\.\d{3}-\d{2}|\d{11}")),
+    ("registro_geral", re.compile(r"MG-\d{2}\.\d{3}\.\d{3}|\d{2}\.\d{3}\.\d{3}-\d")),
+    ("data", re.compile(r"\d{2}/\d{2}/\d{4}|\d{4}-\d{2}-\d{2}")),
 ]
+_ORGAO_TOKEN = re.compile(r"(?:SSP|DETRAN|PC|IFP|SDS|SESP|IGP)-[A-Z]{2}|IIRGD")
+
+
+def _classify_token(token: str) -> str | None:
+    c0 = token[0]
+    if c0 == "R" and token[1] == "$":
+        return "valor"
+    if c0.isdigit() or c0 == "M":
+        for name, pattern in _CLASSIFIERS:
+            if pattern.fullmatch(token):
+                return name
+        return None
+    if _ORGAO_TOKEN.fullmatch(token):
+        return "orgao_emissor"
+    return None
 
 # Cheap pre-filter: a payload with no digit and no 'R$' cannot contain any
 # field — the projection-pushdown analog of the reference's
@@ -101,25 +120,26 @@ def scan_fields(
     if not text or not _ANY_FIELD_HINT.search(text):
         return fields, spans, scores
 
-    claimed: list[tuple[int, int]] = []
-    for name, pattern, normalize, is_valid in _SCANNERS:
-        for m in pattern.finditer(text):
-            start, end = m.span(1) if m.lastindex else m.span()
-            raw = text[start:end]
-            if any(start < c_end and end > c_start for c_start, c_end in claimed):
+    for m in _CANDIDATE.finditer(text):
+        if m.lastgroup == "cat":
+            name = "categoria_habilitacao"
+            start, end = m.span("cat")
+        else:
+            start, end = m.span()
+            name = _classify_token(m.group())
+            if name is None:
                 continue
-            claimed.append((start, end))
-            spans.append({"field": name, "start": start, "end": end})
-            if name not in fields:
-                normalized = str(normalize(raw))
-                fields[name] = normalized
-                # Confidence judges the POST-normalization value — the
-                # reference validates after normalize_dates_in_result /
-                # normalize_cpf run (extraction.py:194-206).
-                scores[name] = (
-                    VALID_CONFIDENCE if is_valid(normalized) else INVALID_CONFIDENCE
-                )
-    spans.sort(key=lambda s: (s["start"], s["end"], s["field"]))
+        spans.append({"field": name, "start": start, "end": end})
+        if name not in fields:
+            normalize, is_valid = _FIELD_FNS[name]
+            normalized = str(normalize(text[start:end]))
+            fields[name] = normalized
+            # Confidence judges the POST-normalization value — the reference
+            # validates after normalize_dates_in_result / normalize_cpf run
+            # (extraction.py:194-206).
+            scores[name] = (
+                VALID_CONFIDENCE if is_valid(normalized) else INVALID_CONFIDENCE
+            )
     return fields, spans, scores
 
 

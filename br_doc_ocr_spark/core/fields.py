@@ -95,6 +95,20 @@ def normalize_rg(rg: str | None) -> str | None:
     return rg.strip().upper()
 
 
+_DAYS_IN_MONTH = (31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+
+
+def _calendar_valid(year: int, month: int, day: int) -> bool:
+    """Proleptic-Gregorian validity, matching ``datetime.strptime``'s checks
+    (incl. leap years) without its ~30µs/call overhead."""
+    if year < 1 or not 1 <= month <= 12:
+        return False
+    dmax = _DAYS_IN_MONTH[month - 1]
+    if month == 2 and year % 4 == 0 and (year % 100 != 0 or year % 400 == 0):
+        dmax = 29
+    return 1 <= day <= dmax
+
+
 def normalize_date(value: str | None) -> str | None:
     """``DD/MM/YYYY`` → ``YYYY-MM-DD``; ISO passes through; anything invalid
     returns the original string unchanged.
@@ -106,16 +120,13 @@ def normalize_date(value: str | None) -> str | None:
         return value
     s = value.strip()
     if _BR_DATE.match(s):
-        try:
-            return datetime.strptime(s, "%d/%m/%Y").strftime("%Y-%m-%d")
-        except ValueError:
-            return value
+        if _calendar_valid(int(s[6:10]), int(s[3:5]), int(s[0:2])):
+            return f"{s[6:10]}-{s[3:5]}-{s[0:2]}"
+        return value
     if _ISO_DATE.match(s):
-        try:
-            datetime.strptime(s, "%Y-%m-%d")
+        if _calendar_valid(int(s[0:4]), int(s[5:7]), int(s[8:10])):
             return s
-        except ValueError:
-            return value
+        return value
     return value
 
 

@@ -1,0 +1,85 @@
+"""Resume semantics: interrupted runs pick up exactly the pending buckets and
+the final output equals a single uninterrupted run (and the oracle)."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+
+from br_doc_ocr_spark import checkpoint
+from br_doc_ocr_spark.core.extract import oracle_extract
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    return {
+        "out": str(tmp_path / "out.parquet"),
+        "manifest": str(tmp_path / "manifest.json"),
+        "lineage": str(tmp_path / "lineage.parquet"),
+    }
+
+
+def test_resume_in_three_snapshots_equals_oracle(spark, tiny_transcripts,
+                                                 tiny_transcripts_path, paths):
+    n_buckets = 6
+    summaries = []
+    for _ in range(4):  # 3 snapshots of 2 buckets + one no-op call
+        s = checkpoint.run_resumable(
+            spark, tiny_transcripts_path, paths["out"], paths["manifest"],
+            lineage_path=paths["lineage"], n_buckets=n_buckets,
+            max_buckets_per_snapshot=2)
+        summaries.append(s)
+    assert summaries[0]["processed_buckets"] == [0, 1]
+    assert summaries[1]["processed_buckets"] == [2, 3]
+    assert summaries[2]["pending_after"] == []
+    assert summaries[3] == {"processed_buckets": [], "pending_after": [],
+                            "rows": 0}
+
+    got = (spark.read.parquet(paths["out"])
+           .drop("bucket").toPandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    expected = oracle_extract(tiny_transcripts)
+    assert len(got) == len(expected)
+    assert got["extracted_text"].tolist() == expected["extracted_text"].tolist()
+    assert got["status"].tolist() == expected["status"].tolist()
+
+    # lineage carries one snapshot id per invocation that did work
+    lineage = spark.read.parquet(paths["lineage"]).toPandas()
+    assert set(lineage["snapshot_id"]) == {"snap-00000", "snap-00001", "snap-00002"}
+    assert lineage["row_count"].sum() == len(expected)
+
+
+def test_rerun_of_completed_bucket_is_idempotent(spark, tiny_transcripts_path,
+                                                 paths):
+    checkpoint.run_resumable(spark, tiny_transcripts_path, paths["out"],
+                             paths["manifest"], n_buckets=4)
+    first = spark.read.parquet(paths["out"]).count()
+    # wipe the manifest → forces reprocessing of ALL buckets over existing output
+    with open(paths["manifest"], encoding="utf-8") as f:
+        m = json.load(f)
+    m["completed"] = {}
+    with open(paths["manifest"], "w", encoding="utf-8") as f:
+        json.dump(m, f)
+    checkpoint.run_resumable(spark, tiny_transcripts_path, paths["out"],
+                             paths["manifest"], n_buckets=4)
+    assert spark.read.parquet(paths["out"]).count() == first  # no duplicates
+
+
+def test_manifest_refuses_mixed_partition_spec(spark, tiny_transcripts_path,
+                                               paths):
+    checkpoint.run_resumable(spark, tiny_transcripts_path, paths["out"],
+                             paths["manifest"], n_buckets=4)
+    with pytest.raises(ValueError, match="refusing to mix"):
+        checkpoint.run_resumable(spark, tiny_transcripts_path, paths["out"],
+                                 paths["manifest"], n_buckets=8)
+
+
+def test_conversation_never_splits_across_buckets(spark, tiny_transcripts_path,
+                                                  paths):
+    checkpoint.run_resumable(spark, tiny_transcripts_path, paths["out"],
+                             paths["manifest"], n_buckets=6)
+    df = spark.read.parquet(paths["out"]).select("conv_id", "bucket").toPandas()
+    per_conv = df.groupby("conv_id")["bucket"].nunique()
+    assert (per_conv == 1).all()

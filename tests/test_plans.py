@@ -1,0 +1,78 @@
+"""Physical-plan quality gates: these assert the *plan shape* the 100 TB
+design depends on — filter/projection pushdown to the parquet scan, broadcast
+joins for small dims, exactly one Arrow crossing in the extraction stage, and
+partial top-k instead of a global sort."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as sf
+
+from br_doc_ocr_spark import pipeline
+from br_doc_ocr_spark.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_projection_and_filter_pushed_to_scan(spark):
+    df = REGISTRY["projection_pushdown"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45" in plan
+    # only the two projected columns are read from parquet
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_extraction_has_single_arrow_crossing_and_shuffle(spark,
+                                                          tiny_transcripts_path):
+    import re
+
+    df = pipeline.read_transcripts(spark, tiny_transcripts_path)
+    results, _ = pipeline.run_extraction(df, salt=4)
+    plan = plan_of(results)
+    # exactly one Arrow crossing and one (salted) exchange before it
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "pmod(turn_idx" in plan  # the salt key is part of the partitioning
+
+
+def test_small_dims_are_broadcast(spark):
+    plan = plan_of(REGISTRY["join_multiway"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # the fact lineitem⋈orders join may be shuffle-based; the three dims must
+    # not introduce more than one shuffle join
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_topk_uses_partial_take_ordered(spark):
+    plan = plan_of(REGISTRY["ann_cosine_topk"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan  # no global Sort for a limit-k
+
+
+def test_whole_stage_codegen_covers_relational_queries(spark):
+    # AQE prints codegen spans only in the FINAL plan → execute first
+    for name in ("pricing_summary", "join_broadcast_agg", "fn_currency_parse"):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        df.collect()
+        plan = plan_of(df)
+        assert "== Final Plan ==" in plan, name
+        # '*' node prefix / codegen ids mark WholeStageCodegen spans
+        assert "[codegen id :" in plan or "* HashAggregate" in plan, name
+
+
+def test_aqe_and_arrow_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+
+
+def test_hash_aggregate_with_partial_pass(spark):
+    plan = plan_of(REGISTRY["pricing_summary"].fn(spark, SF_DIR))
+    # map-side partial + final hash aggregate (two HashAggregate operators)
+    assert plan.count("HashAggregate") >= 2
