@@ -164,12 +164,24 @@ OUTPUT_SCHEMA_DDL = (
 )
 
 
-def extract_turn(text: str | None) -> dict[str, Any]:
+def extract_turn(text: str | None,
+                 allowed_fields: frozenset[str] | None = None) -> dict[str, Any]:
     """Full per-turn pipeline on one payload (kind → content → fields →
     confidence → flags → status). Reference analog: ``extraction.py:139-236``
-    minus the model call, plus main-content extraction."""
+    minus the model call, plus main-content extraction.
+
+    ``allowed_fields`` implements schema-guided extraction (US4,
+    ``spec.md:67-77``): when set, detected fields/spans/scores are projected
+    to the schema's declared field names — the ``filter_to_schema`` semantics
+    (``schemas/__init__.py:276-305``) applied inside the kernel so the status
+    and confidence derivations see the filtered view, exactly as the
+    reference filters before flagging."""
     kind, content = textops.extract_main_content(text)
     fields, spans, scores = scan_fields(text or "")
+    if allowed_fields is not None:
+        fields = {k: v for k, v in fields.items() if k in allowed_fields}
+        scores = {k: v for k, v in scores.items() if k in allowed_fields}
+        spans = [s for s in spans if s["field"] in allowed_fields]
     low_conf = F.flag_low_confidence(scores)
     status = F.derive_status(fields, low_conf)
     return {
@@ -184,7 +196,25 @@ def extract_turn(text: str | None) -> dict[str, Any]:
     }
 
 
-def extract_batch(batch: pd.DataFrame) -> pd.DataFrame:
+def schema_field_names(schema: dict[str, Any] | None) -> frozenset[str] | None:
+    """Map an extraction schema (JSON-Schema dict) to the kernel's field
+    names. Schema property names are used as-is; the schema's date fields
+    (``format: date`` / name containing data/date, ``schemas/__init__.py:
+    183-201``) additionally admit the scanner's generic ``data`` field."""
+    if schema is None:
+        return None
+    from br_doc_ocr_spark.core import schemas as S
+
+    names = set(S.all_fields(schema))
+    if S.date_fields(schema):
+        names.add("data")
+    if any(S.field_types(schema).get(f) == "number" for f in names):
+        names.add("valor")
+    return frozenset(names)
+
+
+def extract_batch(batch: pd.DataFrame,
+                  allowed_fields: frozenset[str] | None = None) -> pd.DataFrame:
     """Vectorized-at-the-boundary batch kernel: pandas in → pandas out.
 
     Row-wise work happens inside the Arrow batch (regex scanning is inherently
@@ -201,7 +231,7 @@ def extract_batch(batch: pd.DataFrame) -> pd.DataFrame:
     texts = batch["text"].tolist()
     for i, text in enumerate(texts):
         try:
-            row = extract_turn(text)
+            row = extract_turn(text, allowed_fields)
         except Exception:
             row = {
                 "payload_kind": "unknown", "extracted_text": "",
@@ -222,20 +252,23 @@ def extract_batch(batch: pd.DataFrame) -> pd.DataFrame:
     return result[OUTPUT_COLUMNS]
 
 
-def extract_batches(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+def extract_batches(batches: Iterable[pd.DataFrame],
+                    allowed_fields: frozenset[str] | None = None
+                    ) -> Iterable[pd.DataFrame]:
     """Iterator form for ``DataFrame.mapInPandas`` — one task consumes one
     partition's Arrow batches; per-partition init (compiled regexes) is free
     because patterns live at module import."""
     for batch in batches:
         if len(batch):
-            yield extract_batch(batch)
+            yield extract_batch(batch, allowed_fields)
 
 
-def oracle_extract(transcripts: pd.DataFrame) -> pd.DataFrame:
+def oracle_extract(transcripts: pd.DataFrame,
+                   schema: dict[str, Any] | None = None) -> pd.DataFrame:
     """Single-threaded golden oracle: same kernel, whole table, stable order.
 
     Output is sorted by (conv_id, turn_idx) — the stable-turn-ordering
     invariant every comparison uses (SURVEY.md §7.4 risk #2).
     """
-    out = extract_batch(transcripts)
+    out = extract_batch(transcripts, schema_field_names(schema))
     return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)

@@ -27,7 +27,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as sf
 
-from br_doc_ocr_spark.core.extract import OUTPUT_SCHEMA_DDL, extract_batch
+from br_doc_ocr_spark.core.extract import (
+    OUTPUT_SCHEMA_DDL,
+    extract_batch,
+    schema_field_names,
+)
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
@@ -45,45 +49,56 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).select(*TRANSCRIPT_COLUMNS)
 
 
-def _extract_partition(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """One task = one partition. Emits extraction rows tagged with the task's
-    partition id and per-batch wall-clock (first row of each batch carries the
-    batch's elapsed ms; the rest carry 0) so lineage aggregates exactly."""
-    from pyspark import TaskContext
+def _extract_partition(allowed_fields: frozenset[str] | None):
+    """Build the per-partition kernel closure. One task = one partition.
+    Emits extraction rows tagged with the task's partition id and per-batch
+    wall-clock (first row of each batch carries the batch's elapsed ms; the
+    rest carry 0) so lineage aggregates exactly."""
 
-    ctx = TaskContext.get()
-    pid = ctx.partitionId() if ctx is not None else -1
-    for batch in batches:
-        if not len(batch):
-            continue
-        t0 = time.perf_counter()
-        out = extract_batch(batch)
-        elapsed_ms = int((time.perf_counter() - t0) * 1000)
-        out["_partition_id"] = pid
-        ms = [0] * len(out)
-        ms[0] = elapsed_ms
-        out["_batch_ms"] = ms
-        yield out
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        for batch in batches:
+            if not len(batch):
+                continue
+            t0 = time.perf_counter()
+            out = extract_batch(batch, allowed_fields)
+            elapsed_ms = int((time.perf_counter() - t0) * 1000)
+            out["_partition_id"] = pid
+            ms = [0] * len(out)
+            ms[0] = elapsed_ms
+            out["_batch_ms"] = ms
+            yield out
+
+    return run
 
 
 def run_extraction(
     transcripts: DataFrame,
     salt: int = 8,
     target_partitions: int | None = None,
+    schema: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the extraction stage → (results, lineage).
 
     ``salt`` splits each conv_id across up to ``salt`` shuffle keys
     (``pmod(turn_idx, salt)``) — deterministic, order-insensitive for a
     per-row map, and it defuses long-conversation skew. ``target_partitions``
-    defaults to the session shuffle-partition conf.
+    defaults to the session shuffle-partition conf. ``schema`` enables
+    schema-guided extraction (US4): a JSON-Schema dict whose field names
+    bound the extracted field set (shipped to executors in the task closure —
+    the broadcast-variable pattern for a driver-side config).
     """
     spark = transcripts.sparkSession
     n = target_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     salted = transcripts.repartition(
         n, sf.col("conv_id"), sf.pmod(sf.col("turn_idx"), sf.lit(salt))
     )
-    extracted = salted.mapInPandas(_extract_partition, schema=EXTRACT_WITH_LINEAGE_DDL)
+    extracted = salted.mapInPandas(
+        _extract_partition(schema_field_names(schema)),
+        schema=EXTRACT_WITH_LINEAGE_DDL)
 
     # Lineage is an aggregation over the extraction output itself — computed
     # in the same plan (no second scan); counts are exact, wall-clock sums the

@@ -566,6 +566,108 @@ def q_low_confidence_flags(spark, sf_dir):
             .agg(sf.array_sort(sf.collect_set("event_type")).alias("low_types")))
 
 
+@register(
+    "projection_null_init",
+    """
+    SELECT doc_id,
+           CAST(NULL AS VARCHAR) AS nome_completo,
+           CAST(NULL AS VARCHAR) AS cpf,
+           CAST(NULL AS DOUBLE) AS valor_total
+    FROM documents WHERE doc_id < 100
+    """,
+    "P3 null-init projection: all schema fields as typed nulls "
+    "(create_empty_result, schemas/__init__.py:246-273)")
+def q_projection_null_init(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter(sf.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        sf.lit(None).cast("string").alias("nome_completo"),
+        sf.lit(None).cast("string").alias("cpf"),
+        sf.lit(None).cast("double").alias("valor_total"))
+
+
+@register(
+    "fn_confidence_placeholder",
+    """
+    SELECT event_type,
+           round(avg(coalesce(CASE WHEN value >= 100 THEN value END, 0.85)), 6)
+             AS avg_conf
+    FROM events GROUP BY event_type
+    """,
+    "F22 confidence placeholder: absent scores default 0.85 "
+    "(extraction.py:185-192) — coalesce over a nullable score")
+def q_fn_confidence_placeholder(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    score = sf.when(sf.col("value") >= 100, sf.col("value"))
+    return (ev.groupBy("event_type")
+            .agg(sf.round(sf.avg(sf.coalesce(score, sf.lit(0.85))), 6)
+                 .alias("avg_conf")))
+
+
+@register(
+    "fn_state_extraction",
+    """
+    SELECT uf, is_valid_state, count(*) AS n FROM (
+      SELECT regexp_extract(orgao, '[A-Z]{2}$', 0) AS uf,
+             CASE WHEN regexp_extract(orgao, '[A-Z]{2}$', 0) IN
+               ('AC','AL','AP','AM','BA','CE','DF','ES','GO','MA','MT','MS',
+                'MG','PA','PB','PR','PE','PI','RJ','RN','RS','RO','RR','SC',
+                'SP','SE','TO') THEN 1 ELSE 0 END AS is_valid_state
+      FROM (SELECT 'SSP-' || substr(n_name, 8, 2) ||
+                   CASE WHEN n_nationkey % 3 = 0 THEN 'SP'
+                        WHEN n_nationkey % 3 = 1 THEN 'RJ' ELSE 'XX' END
+                     AS orgao
+            FROM nation))
+    GROUP BY uf, is_valid_state
+    """,
+    "F10/U4 extract_state_from_orgao: trailing-UF regex + 27-state membership "
+    "(extraction.py:404-434)")
+def q_fn_state_extraction(spark, sf_dir):
+    n = t(spark, sf_dir, "nation")
+    orgao = sf.concat(
+        sf.lit("SSP-"), sf.substring("n_name", 8, 2),
+        sf.when(sf.col("n_nationkey") % 3 == 0, "SP")
+          .when(sf.col("n_nationkey") % 3 == 1, "RJ").otherwise("XX"))
+    uf = sf.regexp_extract(orgao, "[A-Z]{2}$", 0)
+    from br_doc_ocr_spark.core.fields import BRAZIL_STATES
+    valid = sf.when(uf.isin(*sorted(BRAZIL_STATES)), 1).otherwise(0)
+    return (n.select(uf.alias("uf"), valid.alias("is_valid_state"))
+            .groupBy("uf", "is_valid_state").agg(sf.count("*").alias("n")))
+
+
+@register(
+    "eval_set_prf",
+    """
+    SELECT user_id,
+           round(len(list_intersect(pred, actual))::DOUBLE
+                 / greatest(len(pred), 1), 6) AS precision,
+           round(len(list_intersect(pred, actual))::DOUBLE
+                 / greatest(len(actual), 1), 6) AS recall
+    FROM (
+      SELECT user_id,
+             list_sort(list(DISTINCT CASE WHEN value >= 50 THEN event_type END
+                            ) FILTER (value >= 50)) AS pred,
+             list_sort(list(DISTINCT CASE WHEN event_id % 2 = 0 THEN event_type
+                            END) FILTER (event_id % 2 = 0)) AS actual
+      FROM events GROUP BY user_id)
+    """,
+    "A4 precision/recall over field-name sets (evaluation.py:202-236): "
+    "TP = |pred ∩ actual| with per-side denominators")
+def q_eval_set_prf(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        sf.array_sort(sf.collect_set(
+            sf.when(sf.col("value") >= 50, sf.col("event_type")))).alias("pred"),
+        sf.array_sort(sf.collect_set(
+            sf.when(sf.col("event_id") % 2 == 0, sf.col("event_type")))).alias("actual"),
+    )
+    inter = sf.size(sf.array_intersect("pred", "actual"))
+    return agg.select(
+        "user_id",
+        sf.round(inter / sf.greatest(sf.size("pred"), sf.lit(1)), 6).alias("precision"),
+        sf.round(inter / sf.greatest(sf.size("actual"), sf.lit(1)), 6).alias("recall"))
+
+
 # ===========================================================================
 # Text analysis (training-data ops)
 # ===========================================================================
@@ -805,6 +907,38 @@ def q_text_fingerprint(spark, sf_dir):
     return (d.groupBy("lang")
             .agg(sf.countDistinct("fingerprint").alias("n_distinct"),
                  sf.count("*").alias("n_docs")))
+
+
+@register(
+    "eval_extraction_report", None,
+    "evaluation engine (J1 pairing + A1-A4 + per-field report) — extraction "
+    "output scored against itself as the golden (identity gate)")
+def q_eval_extraction_report(spark, sf_dir):
+    from br_doc_ocr_spark import evaluation
+    from br_doc_ocr_spark.pipeline import run_extraction, transcripts_from_documents
+
+    results, _ = run_extraction(transcripts_from_documents(spark, sf_dir), salt=4)
+    pred = results.select("conv_id", "turn_idx", "payload_kind",
+                          "extracted_text", "fields", "status")
+    return evaluation.evaluate(pred, pred)["per_kind"]
+
+
+@register(
+    "extract_schema_guided", None,
+    "US4 schema-guided extraction: custom 2-field schema bounds the field set "
+    "(filter_to_schema inside the kernel; spec.md:67-77)")
+def q_extract_schema_guided(spark, sf_dir):
+    from br_doc_ocr_spark.pipeline import run_extraction, transcripts_from_documents
+
+    schema = {"type": "object",
+              "properties": {"cpf": {"type": "string"},
+                             "data_nascimento": {"type": "string",
+                                                 "format": "date"}},
+              "required": ["cpf"]}
+    results, _ = run_extraction(transcripts_from_documents(spark, sf_dir),
+                                salt=4, schema=schema)
+    return (results.select(sf.explode(sf.map_keys("fields")).alias("field"))
+            .groupBy("field").agg(sf.count("*").alias("n")).orderBy("field"))
 
 
 @register(
