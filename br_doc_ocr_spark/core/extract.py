@@ -263,6 +263,68 @@ def extract_batches(batches: Iterable[pd.DataFrame],
             yield extract_batch(batch, allowed_fields)
 
 
+# ---------------------------------------------------------------------------
+# Multi-document payloads (FR-015): 1 turn → N documents.
+# Reference analog: detect_documents / extract_all_documents explode a single
+# image into bounding-box crops (preprocessing.py:204-325, extraction.py:
+# 102-119); the transcript analog splits a payload on explicit document
+# separators and runs the full per-document pipeline on each segment.
+# ---------------------------------------------------------------------------
+
+_DOC_SEPARATOR = re.compile(r"\n-{3,}\n|\x0c")
+MIN_SEGMENT_CHARS = 8  # min-size predicate analog (preprocessing.py:281-290)
+
+MULTIDOC_SCHEMA_DDL = (
+    "conv_id string, turn_idx int, doc_idx int, n_docs int, "
+    "payload_kind string, extracted_text string, fields map<string,string>, "
+    "low_confidence_fields array<string>, n_fields int, status string"
+)
+
+
+def segment_payload(text: str | None) -> list[str]:
+    """Split a payload into document segments on ``---`` divider lines or
+    form feeds; segments below MIN_SEGMENT_CHARS are dropped (the reference's
+    (50,50) min-crop filter). A payload with no separator is one segment."""
+    if not text:
+        return [""]
+    parts = [p.strip() for p in _DOC_SEPARATOR.split(text)]
+    kept = [p for p in parts if len(p) >= MIN_SEGMENT_CHARS]
+    return kept if kept else [text.strip()]
+
+
+def extract_documents_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """flatMap form of the kernel: one output row per detected document.
+
+    Mirrors ``extract_document(multi_document=True)``: every segment runs the
+    full per-document pipeline independently (per-segment kind detection —
+    a PDF page and an HTML page can share one payload).
+    """
+    rows: list[dict[str, Any]] = []
+    for conv_id, turn_idx, text in zip(batch["conv_id"], batch["turn_idx"],
+                                       batch["text"]):
+        segments = segment_payload(text)
+        for doc_idx, segment in enumerate(segments):
+            r = extract_turn(segment)
+            rows.append({
+                "conv_id": conv_id, "turn_idx": int(turn_idx),
+                "doc_idx": doc_idx, "n_docs": len(segments),
+                "payload_kind": r["payload_kind"],
+                "extracted_text": r["extracted_text"],
+                "fields": r["fields"],
+                "low_confidence_fields": r["low_confidence_fields"],
+                "n_fields": r["n_fields"], "status": r["status"],
+            })
+    return pd.DataFrame(rows, columns=[
+        "conv_id", "turn_idx", "doc_idx", "n_docs", "payload_kind",
+        "extracted_text", "fields", "low_confidence_fields", "n_fields",
+        "status"])
+
+
+def oracle_extract_documents(transcripts: pd.DataFrame) -> pd.DataFrame:
+    out = extract_documents_batch(transcripts)
+    return out.sort_values(["conv_id", "turn_idx", "doc_idx"]).reset_index(drop=True)
+
+
 def oracle_extract(transcripts: pd.DataFrame,
                    schema: dict[str, Any] | None = None) -> pd.DataFrame:
     """Single-threaded golden oracle: same kernel, whole table, stable order.

@@ -28,8 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as sf
 
 from br_doc_ocr_spark.core.extract import (
+    MULTIDOC_SCHEMA_DDL,
     OUTPUT_SCHEMA_DDL,
     extract_batch,
+    extract_documents_batch,
     schema_field_names,
 )
 
@@ -160,6 +162,80 @@ def run_pipeline(
     return ordered, lineage
 
 
+def run_multi_extraction(transcripts: DataFrame, salt: int = 8,
+                         target_partitions: int | None = None) -> DataFrame:
+    """FR-015 flatMap form: one output row per detected document segment
+    (reference: ``extract_document(multi_document=True)``, extraction.py:
+    102-119). Same salted-shuffle discipline as the 1:1 kernel."""
+    spark = transcripts.sparkSession
+    n = target_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    salted = transcripts.repartition(
+        n, sf.col("conv_id"), sf.pmod(sf.col("turn_idx"), sf.lit(salt)))
+
+    def run(batches):
+        for batch in batches:
+            if len(batch):
+                yield extract_documents_batch(batch)
+
+    return salted.mapInPandas(run, schema=MULTIDOC_SCHEMA_DDL)
+
+
+# ---------------------------------------------------------------------------
+# Sinks (reference: cli/batch.py:192-216 — JSON array, JSONL, errors channel)
+# ---------------------------------------------------------------------------
+
+RESULT_JSON_COLUMNS = [
+    "conv_id", "turn_idx", "payload_kind", "extracted_text", "fields",
+    "confidence_scores", "low_confidence_fields", "n_fields", "status",
+]
+
+
+def result_json_column(results: DataFrame) -> DataFrame:
+    """One deterministic JSON document per turn: ``to_json(struct(...))``
+    with an explicit column order (golden-equality needs stable field order —
+    SURVEY.md §2.1 S6; Spark's JSON writer is line-delimited natively = S7)."""
+    cols = [c for c in RESULT_JSON_COLUMNS if c in results.columns]
+    return results.select(
+        "conv_id", "turn_idx",
+        sf.to_json(sf.struct(*cols)).alias("result_json"))
+
+
+def write_json_sinks(results: DataFrame, output_dir: str) -> None:
+    """JSONL results + quarantine channel, split by status (cli/batch.py:
+    169-174,184-207): good rows to ``results/``, error rows to ``errors/``."""
+    ordered = with_stable_order(results)
+    good = ordered.filter(sf.col("status") != "error")
+    bad = ordered.filter(sf.col("status") == "error")
+    result_json_column(good).write.mode("overwrite").json(f"{output_dir}/results")
+    result_json_column(bad).write.mode("overwrite").json(f"{output_dir}/errors")
+
+
+# ---------------------------------------------------------------------------
+# Payload classification (reference: services/classification.py:44-120) —
+# kind + confidence + alternatives, as pure column expressions.
+# ---------------------------------------------------------------------------
+
+PAYLOAD_KINDS = ("html", "pdf", "prose")
+CLASSIFY_CONFIDENCE = 0.97  # deterministic stand-in for the model score
+
+
+def with_classification(results: DataFrame) -> DataFrame:
+    """Attach classification confidence + alternatives: residual probability
+    spread uniformly over the other kinds (classification.py:92-99, F24)."""
+    residual = (1.0 - CLASSIFY_CONFIDENCE) / (len(PAYLOAD_KINDS) - 1)
+    others = sf.filter(
+        sf.array(*[sf.lit(k) for k in PAYLOAD_KINDS]),
+        lambda k: k != sf.col("payload_kind"))
+    alternatives = sf.transform(
+        others,
+        lambda k: sf.struct(k.alias("kind"),
+                            sf.round(sf.lit(residual), 6).alias("confidence")))
+    return results.withColumns({
+        "classify_confidence": sf.lit(CLASSIFY_CONFIDENCE),
+        "classify_alternatives": alternatives,
+    })
+
+
 # ---------------------------------------------------------------------------
 # Flagship-query entry used by __spark_entry__.py: synthesize transcripts from
 # the driver-provided testdata (documents table → deterministic payload
@@ -193,11 +269,14 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str, n_convs: int = 
     )
     pdf = sf.concat(sf.lit("[72,100,372,112] "), sf.col("text"),
                     sf.lit("\n[72,120,372,132] "), decorated)
-    kind = h % 4
+    multidoc = sf.concat(decorated, sf.lit("\n---\n"), sf.lit("CNPJ "),
+                         sf.lit("12.345.678/0001-90 valor R$ 99,90"))
+    kind = h % 5
     payload = (
         sf.when(kind == 0, html)
           .when(kind == 1, pdf)
           .when(kind == 2, decorated)
+          .when(kind == 3, multidoc)
           .otherwise(sf.col("text"))
     )
     base = docs.select(

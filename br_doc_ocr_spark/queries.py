@@ -942,6 +942,74 @@ def q_extract_schema_guided(spark, sf_dir):
 
 
 @register(
+    "explode_multidoc_segments",
+    """
+    SELECT n_segments, count(*) AS n_payloads FROM (
+      SELECT len(string_split(payload, chr(10) || '---' || chr(10)))
+               AS n_segments
+      FROM (SELECT CASE WHEN doc_id % 3 = 0
+                        THEN text || chr(10) || '---' || chr(10) || text
+                        WHEN doc_id % 7 = 0
+                        THEN text || repeat(chr(10) || '---' || chr(10) ||
+                                            text, 2)
+                        ELSE text END AS payload
+            FROM documents))
+    GROUP BY n_segments
+    """,
+    "M7/FR-015 multi-document segmentation cardinality (detect_documents "
+    "explode shape, preprocessing.py:204-236)")
+def q_explode_multidoc_segments(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    sep_text = sf.concat(sf.lit("\n---\n"), sf.col("text"))
+    payload = (sf.when(sf.col("doc_id") % 3 == 0,
+                       sf.concat(sf.col("text"), sep_text))
+                 .when(sf.col("doc_id") % 7 == 0,
+                       sf.concat(sf.col("text"), sep_text, sep_text))
+                 .otherwise(sf.col("text")))
+    return (d.select(sf.size(sf.split(payload, r"\n---\n")).alias("n_segments"))
+            .groupBy("n_segments").agg(sf.count("*").alias("n_payloads")))
+
+
+@register(
+    "extract_multidoc", None,
+    "FR-015 multi-document extraction: one row per detected document segment "
+    "(extract_document(multi_document=True), extraction.py:102-119)")
+def q_extract_multidoc(spark, sf_dir):
+    from br_doc_ocr_spark.pipeline import (
+        run_multi_extraction,
+        transcripts_from_documents,
+    )
+
+    docs = run_multi_extraction(transcripts_from_documents(spark, sf_dir), salt=4)
+    return (docs.groupBy("n_docs", "status")
+            .agg(sf.count("*").alias("n"),
+                 sf.sum("n_fields").alias("total_fields"))
+            .orderBy("n_docs", "status"))
+
+
+@register(
+    "classify_alternatives", None,
+    "F24 classification alternatives: residual confidence spread over other "
+    "kinds (classification.py:92-99)")
+def q_classify_alternatives(spark, sf_dir):
+    from br_doc_ocr_spark.pipeline import (
+        run_extraction,
+        transcripts_from_documents,
+        with_classification,
+    )
+
+    results, _ = run_extraction(transcripts_from_documents(spark, sf_dir), salt=4)
+    classified = with_classification(results)
+    return (classified.select(
+        "payload_kind", "classify_confidence",
+        sf.explode("classify_alternatives").alias("alt"))
+        .groupBy("payload_kind", sf.col("alt.kind").alias("alt_kind"))
+        .agg(sf.count("*").alias("n"),
+             sf.round(sf.avg("alt.confidence"), 6).alias("alt_confidence"))
+        .orderBy("payload_kind", "alt_kind"))
+
+
+@register(
     "text_langid", None,
     "language-ID stopword heuristic vs the lang label — accuracy per lang")
 def q_text_langid(spark, sf_dir):

@@ -130,12 +130,17 @@ def make_transcripts_pandas(
             kind_roll = rng.rand()
             if kind_roll < 0.40:
                 text = _prose(rng, int(rng.randint(5, 40)))
-            elif kind_roll < 0.70:
+            elif kind_roll < 0.68:
                 text = _html_payload(rng)
-            elif kind_roll < 0.85:
+            elif kind_roll < 0.83:
                 text = _pdf_payload(rng)
-            else:
+            elif kind_roll < 0.92:
                 text = _field_snippet(rng)
+            else:
+                # multi-document payload (FR-015): 2-3 documents separated
+                # by divider lines
+                n_docs = int(rng.randint(2, 4))
+                text = "\n---\n".join(_field_snippet(rng) for _ in range(n_docs))
             ts_counter += int(rng.randint(1, 90))
             rows.append((conv_id, turn_idx, role, text, tool,
                          BASE_EPOCH + pd.Timedelta(seconds=ts_counter)))
