@@ -1,0 +1,267 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads with
+typed metadata, processed by Arrow-batched kernels.
+
+This is the graft rendering of the reference's image preprocessing stack
+(``/root/reference/src/br_doc_ocr/services/preprocessing.py``): load (S1) →
+normalize (M5) → resize (M4) → orientation (M6) → multi-crop (M7/M8) — with
+the pixel work behind a pluggable decoder because the sandbox ships no
+image/audio libraries. The Spark-side plumbing — schema, partitioning, UDF
+signatures, Arrow batch shapes — is real and tested; the decoder is either
+
+- :class:`FakeDecoder` (default): deterministic bytes→"pixels" synthesis so
+  every downstream stage (resize / orient / frame-sample / feature-extract)
+  runs end-to-end with checkable numbers, or
+- :class:`LibraryDecoder`: the real thing, raising ``NotImplementedError``
+  with the exact swap instructions (PIL/torchaudio/PyAV) — the clearly-marked
+  stub the production deployment replaces.
+
+Schema:
+
+    media(media_id long, kind string in {image,audio,video},
+          payload binary,
+          meta struct<width:int, height:int, n_frames:int,
+                      sample_rate:int, format:string>)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+MEDIA_SCHEMA_DDL = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, n_frames:int, sample_rate:int, "
+    "format:string>"
+)
+
+MAX_DIMENSION = 1024  # reference resize cap (preprocessing.py:66-96)
+
+
+# ---------------------------------------------------------------------------
+# Decoders
+# ---------------------------------------------------------------------------
+
+class FakeDecoder:
+    """Deterministic payload→array synthesis: a blake2b keystream shaped by
+    the metadata. Every byte of output is a pure function of (payload, meta),
+    so resize/orient/feature stages have exact, replayable expectations."""
+
+    @staticmethod
+    def _keystream(payload: bytes, n: int) -> np.ndarray:
+        out = np.empty(n, dtype=np.uint8)
+        pos = 0
+        counter = 0
+        while pos < n:
+            block = hashlib.blake2b(payload, digest_size=64,
+                                    salt=counter.to_bytes(8, "big")).digest()
+            take = min(64, n - pos)
+            out[pos:pos + take] = np.frombuffer(block[:take], dtype=np.uint8)
+            pos += take
+            counter += 1
+        return out
+
+    def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        """→ uint8 array (height, width, 3)."""
+        return self._keystream(payload, height * width * 3).reshape(
+            height, width, 3)
+
+    def decode_audio(self, payload: bytes, n_samples: int) -> np.ndarray:
+        """→ float32 waveform in [-1, 1)."""
+        raw = self._keystream(payload, n_samples)
+        return (raw.astype(np.float32) - 128.0) / 128.0
+
+    def decode_video_frame(self, payload: bytes, frame_idx: int,
+                           width: int, height: int) -> np.ndarray:
+        frame_payload = payload + frame_idx.to_bytes(4, "big")
+        return self.decode_image(frame_payload, width, height)
+
+
+class LibraryDecoder:
+    """The production decoder — STUB. Swap in PIL / torchaudio / PyAV here;
+    none are installed in this sandbox."""
+
+    def decode_image(self, payload: bytes, width: int, height: int):
+        raise NotImplementedError(
+            "real image decode requires PIL: Image.open(io.BytesIO(payload)) "
+            "— not available in this environment; use FakeDecoder")
+
+    def decode_audio(self, payload: bytes, n_samples: int):
+        raise NotImplementedError(
+            "real audio decode requires torchaudio/soundfile — not available; "
+            "use FakeDecoder")
+
+    def decode_video_frame(self, payload: bytes, frame_idx: int,
+                           width: int, height: int):
+        raise NotImplementedError(
+            "real video decode requires PyAV — not available; use FakeDecoder")
+
+
+# ---------------------------------------------------------------------------
+# Kernels (mapInPandas — Arrow batches in, Arrow batches out)
+# ---------------------------------------------------------------------------
+
+IMAGE_FEATURES_DDL = (
+    "media_id long, out_width int, out_height int, "
+    "mean_intensity double, band_means array<double>, phash long"
+)
+
+
+def _resize_dims(width: int, height: int, max_dim: int = MAX_DIMENSION
+                 ) -> tuple[int, int]:
+    """Aspect-preserving downscale to max_dim, never upscale — the exact
+    resize contract of preprocessing.py:66-96."""
+    longest = max(width, height)
+    if longest <= max_dim:
+        return width, height
+    scale = max_dim / longest
+    return max(int(width * scale), 1), max(int(height * scale), 1)
+
+
+def image_feature_kernel(decoder=None):
+    """decode → resize → per-band means → perceptual hash, per Arrow batch."""
+    decoder = decoder or FakeDecoder()
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for media_id, payload, meta in zip(batch["media_id"],
+                                               batch["payload"], batch["meta"]):
+                w, h = int(meta["width"]), int(meta["height"])
+                img = decoder.decode_image(bytes(payload), w, h)
+                ow, oh = _resize_dims(w, h)
+                # nearest-neighbor resize via index striding (vectorized)
+                yi = (np.arange(oh) * (h / oh)).astype(int)
+                xi = (np.arange(ow) * (w / ow)).astype(int)
+                small = img[yi][:, xi]
+                gray = small.mean(axis=2)
+                # 8x8 average-hash (classic pHash-lite): threshold on mean
+                ty = (np.arange(8) * (oh / 8)).astype(int)
+                tx = (np.arange(8) * (ow / 8)).astype(int)
+                tiny = gray[ty][:, tx]
+                bits = (tiny > tiny.mean()).flatten()
+                phash = 0
+                for b in bits:
+                    phash = (phash << 1) | int(b)
+                phash -= (phash >> 63) << 64  # to signed 64-bit
+                rows.append((int(media_id), ow, oh,
+                             float(small.mean()),
+                             [float(small[:, :, c].mean()) for c in range(3)],
+                             phash))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "out_width", "out_height", "mean_intensity",
+                "band_means", "phash"])
+
+    return run
+
+
+AUDIO_FEATURES_DDL = (
+    "media_id long, n_samples int, rms double, zero_crossings int, "
+    "frame_energy array<double>"
+)
+
+
+def audio_feature_kernel(decoder=None, frame_size: int = 1024):
+    """decode → RMS / zero-crossing / framed energy, per Arrow batch."""
+    decoder = decoder or FakeDecoder()
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for media_id, payload, meta in zip(batch["media_id"],
+                                               batch["payload"], batch["meta"]):
+                n = int(meta["sample_rate"])  # 1 second of synthetic audio
+                wave = decoder.decode_audio(bytes(payload), n)
+                zc = int(np.sum(np.signbit(wave[1:]) != np.signbit(wave[:-1])))
+                n_frames = max(n // frame_size, 1)
+                energy = [float(np.sqrt(np.mean(
+                    wave[i * frame_size:(i + 1) * frame_size] ** 2)))
+                    for i in range(n_frames)]
+                rows.append((int(media_id), n,
+                             float(np.sqrt(np.mean(wave ** 2))), zc, energy))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_samples", "rms", "zero_crossings",
+                "frame_energy"])
+
+    return run
+
+
+VIDEO_FRAMES_DDL = (
+    "media_id long, frame_idx int, mean_intensity double, phash long"
+)
+
+
+def video_frame_sample_kernel(decoder=None, every_nth: int = 10):
+    """frame-sample (every_nth) → per-frame decode → intensity + hash.
+    1→N flatMap: one output row per sampled frame (M7 explode shape)."""
+    decoder = decoder or FakeDecoder()
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for media_id, payload, meta in zip(batch["media_id"],
+                                               batch["payload"], batch["meta"]):
+                w, h = int(meta["width"]), int(meta["height"])
+                for frame_idx in range(0, int(meta["n_frames"]), every_nth):
+                    frame = decoder.decode_video_frame(bytes(payload),
+                                                       frame_idx, w, h)
+                    gray = frame.mean(axis=2)
+                    bits = (gray[:8, :8] > gray[:8, :8].mean()).flatten()
+                    phash = 0
+                    for b in bits:
+                        phash = (phash << 1) | int(b)
+                    phash -= (phash >> 63) << 64
+                    rows.append((int(media_id), frame_idx,
+                                 float(frame.mean()), phash))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "mean_intensity", "phash"])
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-level API
+# ---------------------------------------------------------------------------
+
+def image_features(media: DataFrame, decoder=None) -> DataFrame:
+    imgs = media.filter(media.kind == "image")
+    return imgs.mapInPandas(image_feature_kernel(decoder),
+                            schema=IMAGE_FEATURES_DDL)
+
+
+def audio_features(media: DataFrame, decoder=None) -> DataFrame:
+    auds = media.filter(media.kind == "audio")
+    return auds.mapInPandas(audio_feature_kernel(decoder),
+                            schema=AUDIO_FEATURES_DDL)
+
+
+def sample_video_frames(media: DataFrame, decoder=None,
+                        every_nth: int = 10) -> DataFrame:
+    vids = media.filter(media.kind == "video")
+    return vids.mapInPandas(video_frame_sample_kernel(decoder, every_nth),
+                            schema=VIDEO_FRAMES_DDL)
+
+
+def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table (payload = seeded bytes; metadata
+    spans small and above-cap dimensions so the resize path is exercised)."""
+    import pandas as pd  # noqa: F811
+
+    rows = []
+    kinds = ("image", "audio", "video")
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.blake2b(i.to_bytes(8, "big"),
+                                  digest_size=32).digest()
+        width = 320 + (i % 5) * 512     # 320..2368: crosses MAX_DIMENSION
+        height = 240 + (i % 7) * 256
+        rows.append((i, kind, bytearray(payload), {
+            "width": width, "height": height,
+            "n_frames": 30 + (i % 4) * 30,
+            "sample_rate": 16000, "format": "synthetic"}))
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA_DDL)

@@ -90,3 +90,28 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
         ivf_bucket(sf.col(vec_col).cast("array<double>"), n_bits) == sf.lit(q_bucket)
     )
     return cosine_topk(cell, query_vec, k, id_col, vec_col)
+
+
+def cosine_near_duplicates(embeddings: DataFrame, threshold: float = 0.9,
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           n_bits: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: candidates from a self
+    equi-join on the sign-bit quantizer cell (vectors with cosine ~1 share
+    sign patterns with high probability), then exact cosine verification.
+
+    Recall tradeoff is explicit: pairs straddling a sign flip on one of the
+    first ``n_bits`` dims are missed — the standard bucketed-LSH recall/cost
+    dial (lower n_bits = higher recall, bigger cells).
+    """
+    bucketed = embeddings.select(
+        sf.col(id_col).alias("id"),
+        sf.col(vec_col).cast("array<double>").alias("v"),
+        ivf_bucket(sf.col(vec_col).cast("array<double>"), n_bits).alias("bucket"),
+    )
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    return (l.join(r, [sf.col("l.bucket") == sf.col("r.bucket"),
+                       sf.col("l.id") < sf.col("r.id")])
+            .select(sf.col("l.id").alias("id_a"), sf.col("r.id").alias("id_b"),
+                    sf.round(cosine(sf.col("l.v"), sf.col("r.v")), 6)
+                    .alias("cosine"))
+            .filter(sf.col("cosine") >= threshold))

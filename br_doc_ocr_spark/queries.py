@@ -848,6 +848,28 @@ def q_ann_knn_join(spark, sf_dir):
     return similarity.knn_join(queries, emb, k=5)
 
 
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH b AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings)
+    SELECT * FROM (
+      SELECT l.id AS id_a, r.id AS id_b,
+             round(list_cosine_similarity(l.v, r.v), 6) AS cosine
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id)
+    WHERE cosine >= 0.3
+    """,
+    "embedding-cosine near-dup: sign-bucket candidate join + exact verify")
+def q_dedup_embedding_cosine(spark, sf_dir):
+    return similarity.cosine_near_duplicates(
+        t(spark, sf_dir, "embeddings"), threshold=0.3, n_bits=4)
+
+
 # ===========================================================================
 # Rows-only entries (hash-/kernel-based — no SQL oracle; gated by pytest
 # goldens instead; the driver records a rows-only check)
@@ -1020,6 +1042,31 @@ def q_text_langid(spark, sf_dir):
             .agg(sf.round(sf.avg((sf.col("lang_pred") == sf.col("lang"))
                                  .cast("double")), 6).alias("accuracy"),
                  sf.count("*").alias("n")))
+
+
+@register(
+    "multimodal_image_features", None,
+    "multimodal: binary payload + typed metadata → decode(stub)/resize/"
+    "feature-extract via Arrow kernel (preprocessing.py:66-126 analog)")
+def q_multimodal_image_features(spark, sf_dir):
+    from br_doc_ocr_spark.ops import multimodal as mm
+
+    feats = mm.image_features(mm.synth_media(spark, n=48))
+    return (feats.groupBy("out_width", "out_height")
+            .agg(sf.count("*").alias("n"),
+                 sf.round(sf.avg("mean_intensity"), 2).alias("avg_intensity"))
+            .orderBy("out_width", "out_height"))
+
+
+@register(
+    "multimodal_video_frames", None,
+    "multimodal: video frame-sampling flatMap (1 row per sampled frame)")
+def q_multimodal_video_frames(spark, sf_dir):
+    from br_doc_ocr_spark.ops import multimodal as mm
+
+    frames = mm.sample_video_frames(mm.synth_media(spark, n=48), every_nth=10)
+    return (frames.groupBy("frame_idx").agg(sf.count("*").alias("n"))
+            .orderBy("frame_idx"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -101,3 +101,84 @@ def stream_status_counts(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: cross-turn document assembly.
+#
+# A document's fields can span turns of one conversation (the transcript
+# analog of the reference's multi-page/multi-crop documents). This is the
+# applyInPandasWithState rendering: state per conv_id accumulates the merged
+# field map (first occurrence wins, respecting turn order within each batch)
+# and emits an updated assembly row every micro-batch. State survives
+# restarts via the streaming checkpoint.
+# ---------------------------------------------------------------------------
+
+ASSEMBLY_OUTPUT_DDL = (
+    "conv_id string, n_turns long, n_fields int, merged_fields_json string"
+)
+ASSEMBLY_STATE_DDL = "n_turns long, merged_fields_json string"
+
+
+def _assemble_fn(key, pdf_iter, state):
+    import json as _json
+
+    import pandas as pd  # noqa: F811
+
+    (conv_id,) = key
+    if state.exists:
+        n_turns, merged_json = state.get
+        merged = _json.loads(merged_json)
+    else:
+        n_turns, merged = 0, {}
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("turn_idx")
+        n_turns += len(pdf)
+        for fields in pdf["fields"]:
+            for name, value in dict(fields).items():
+                merged.setdefault(name, value)
+    state.update((n_turns, _json.dumps(merged, sort_keys=True)))
+    yield pd.DataFrame([{
+        "conv_id": conv_id, "n_turns": n_turns, "n_fields": len(merged),
+        "merged_fields_json": _json.dumps(merged, sort_keys=True),
+    }])
+
+
+def assemble_conversations(results: DataFrame) -> DataFrame:
+    """Stateful per-conversation field assembly over a *streaming* extraction
+    result (``extract_stream`` output). Update-mode output: one snapshot row
+    per conversation per micro-batch it appears in."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (results.select("conv_id", "turn_idx", "fields")
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                _assemble_fn,
+                outputStructType=ASSEMBLY_OUTPUT_DDL,
+                stateStructType=ASSEMBLY_STATE_DDL,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_assembled_conversations(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+):
+    """readStream → extraction kernel → stateful assembly → per-batch parquet
+    snapshots via foreachBatch (the memory sink cannot recover from a
+    checkpoint; foreachBatch can). Each update row is stamped with its batch
+    id — the latest (conv_id, max batch_seq) row is the current assembly."""
+    assembled = assemble_conversations(
+        extract_stream(read_transcript_stream(spark, input_path)))
+
+    def write_snapshot(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("batch_seq", sf.lit(batch_id))
+         .write.mode("append").parquet(output_path))
+
+    return (assembled.writeStream.foreachBatch(write_snapshot)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True)
+            .start())

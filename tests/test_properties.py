@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis) for the parity-critical parser core —
+the invariants that must hold for ANY input, not just fixtures."""
+
+from __future__ import annotations
+
+from datetime import date
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from br_doc_ocr_spark.core import fields as F
+from br_doc_ocr_spark.core import textops
+from br_doc_ocr_spark.core.extract import scan_fields, segment_payload
+
+text_strategy = st.text(max_size=400)
+
+
+@given(st.text(alphabet="0123456789.-/ ", max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_normalize_cpf_total_and_idempotent(s):
+    out = F.normalize_cpf(s)
+    assert out is not None or s is None
+    assert F.normalize_cpf(out) == out  # idempotent
+    if len(F.digits_of(s)) == 11:
+        assert F.is_valid_cpf_format(out)
+
+
+# the DD/MM/YYYY contract is 4-digit years (strftime pads shorter years
+# platform-dependently; 3-digit years are outside the document domain)
+@given(st.dates(min_value=date(1000, 1, 1), max_value=date(9999, 12, 31)))
+@settings(max_examples=300, deadline=None)
+def test_normalize_date_agrees_with_datetime(d):
+    br = d.strftime("%d/%m/%Y")
+    iso = d.strftime("%Y-%m-%d")
+    assert F.normalize_date(br) == iso
+    assert F.normalize_date(iso) == iso
+
+
+@given(st.integers(0, 99), st.integers(0, 99), st.integers(0, 9999))
+@settings(max_examples=300, deadline=None)
+def test_normalize_date_invalid_calendar_passthrough(day, month, year):
+    s = f"{day:02d}/{month:02d}/{year:04d}"
+    out = F.normalize_date(s)
+    try:
+        date(year, month, day)
+        assert out == f"{year:04d}-{month:02d}-{day:02d}"
+    except ValueError:
+        assert out == s  # invalid returns original unchanged
+
+
+@given(st.floats(min_value=0, max_value=1e9, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_parse_currency_roundtrips_brazilian_format(v):
+    v = round(v, 2)
+    br = f"R$ {v:,.2f}".replace(",", "X").replace(".", ",").replace("X", ".")
+    assert F.parse_currency(br) == v
+    assert F.parse_currency(f"{v:.2f}") == v
+
+
+@given(text_strategy)
+@settings(max_examples=300, deadline=None)
+def test_scan_fields_never_crashes_and_spans_index_text(s):
+    fields, spans, scores = scan_fields(s)
+    assert set(fields) == set(scores)
+    for span in spans:
+        assert 0 <= span["start"] <= span["end"] <= len(s)
+    # every field has at least one span
+    assert set(fields) <= {sp["field"] for sp in spans}
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_extract_main_content_total(s):
+    kind, content = textops.extract_main_content(s)
+    assert kind in ("html", "pdf", "prose")
+    assert isinstance(content, str)
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_strip_html_never_crashes(s):
+    out = textops.strip_html(s)
+    assert isinstance(out, str)
+    assert "<script" not in out.lower()
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_segment_payload_covers_input(s):
+    segs = segment_payload(s)
+    assert len(segs) >= 1
+    for seg in segs:
+        assert isinstance(seg, str)
+
+
+@given(st.dictionaries(st.text(min_size=1, max_size=8),
+                       st.floats(0, 1, allow_nan=False), max_size=8),
+       st.floats(0, 1, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_flag_low_confidence_properties(scores, threshold):
+    flagged = F.flag_low_confidence(scores, threshold)
+    assert set(flagged) == {k for k, v in scores.items() if v < threshold}
+    # order-preserving (insertion order of the dict)
+    assert flagged == [k for k in scores if scores[k] < threshold]
+
+
+@given(st.dictionaries(st.text(min_size=1, max_size=6),
+                       st.text(max_size=6), max_size=6),
+       st.lists(st.text(min_size=1, max_size=6), max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_derive_status_domain(data, low):
+    assert F.derive_status(data, low) in ("success", "partial", "failed")

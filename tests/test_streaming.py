@@ -67,3 +67,55 @@ def test_stream_windowed_status_counts(spark, stream_dirs):
                                 "n_turns", "total_fields"}
     if len(agg):
         assert (agg["n_turns"] > 0).all()
+
+
+def test_stateful_assembly_accumulates_across_restarts(spark, stream_dirs):
+    """applyInPandasWithState: per-conversation field assembly; state
+    survives a stream restart via the checkpoint."""
+    import pandas as pd
+
+    rows1 = pd.DataFrame({
+        "conv_id": ["cA", "cA", "cB"],
+        "turn_idx": pd.array([0, 1, 0], dtype="int32"),
+        "role": ["user"] * 3,
+        "text": ["CPF 123.456.789-00 aqui", "prose only turn",
+                 "CNPJ 12.345.678/0001-90"],
+        "tool": [""] * 3,
+        "ts": pd.to_datetime(["2026-01-01"] * 3).astype("datetime64[us]"),
+    })
+    rows2 = pd.DataFrame({
+        "conv_id": ["cA"],
+        "turn_idx": pd.array([2], dtype="int32"),
+        "role": ["user"],
+        "text": ["agora a data 15/05/1990 e valor R$ 10,50"],
+        "tool": [""],
+        "ts": pd.to_datetime(["2026-01-01"]).astype("datetime64[us]"),
+    })
+    out = f"{stream_dirs['agg']}_asm"
+    ckpt = f"{stream_dirs['ckpt']}_state"
+    rows1.to_parquet(f"{stream_dirs['in']}/b1.parquet", index=False)
+    q = streaming.stream_assembled_conversations(spark, stream_dirs["in"],
+                                                 out, ckpt)
+    q.awaitTermination(120)
+
+    def latest():
+        pdf = spark.read.parquet(out).toPandas()
+        pdf = pdf.sort_values("batch_seq").groupby("conv_id").last()
+        return pdf.to_dict("index")
+
+    snap1 = latest()
+    assert snap1["cA"]["n_turns"] == 2 and snap1["cA"]["n_fields"] == 1
+    assert snap1["cB"]["n_fields"] == 1
+
+    rows2.to_parquet(f"{stream_dirs['in']}/b2.parquet", index=False)
+    q = streaming.stream_assembled_conversations(spark, stream_dirs["in"],
+                                                 out, ckpt)
+    q.awaitTermination(120)
+    snap2 = latest()
+    # restart resumed state: cA now 3 turns, fields merged across turns
+    assert snap2["cA"]["n_turns"] == 3
+    import json
+    merged = json.loads(snap2["cA"]["merged_fields_json"])
+    assert merged["cpf"] == "123.456.789-00"
+    assert merged["data"] == "1990-05-15"
+    assert merged["valor"] == "10.5"
