@@ -26,7 +26,6 @@ Schema:
 from __future__ import annotations
 
 import hashlib
-from dataclasses import dataclass
 from typing import Iterable, Iterator
 
 import numpy as np

@@ -76,3 +76,19 @@ def test_hash_aggregate_with_partial_pass(spark):
     plan = plan_of(REGISTRY["pricing_summary"].fn(spark, SF_DIR))
     # map-side partial + final hash aggregate (two HashAggregate operators)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bucket_partitioned_output_prunes(spark, tiny_transcripts_path, tmp_path):
+    """The checkpoint layout (dir-partitioned by bucket) must let Catalyst
+    prune untouched buckets at read time — the Iceberg-partition-spec analog."""
+    from br_doc_ocr_spark import checkpoint
+
+    out = str(tmp_path / "out")
+    checkpoint.run_resumable(spark, tiny_transcripts_path, out,
+                             str(tmp_path / "m.json"), n_buckets=4)
+    df = spark.read.parquet(out).filter(sf.col("bucket") == 2)
+    plan = plan_of(df)
+    part_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "bucket" in part_line and "= 2" in part_line.replace("=2", "= 2")
+    # and the pruned read returns only that bucket
+    assert df.select("bucket").distinct().collect()[0][0] == 2
