@@ -249,7 +249,7 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str, n_convs: int = 
     from pyspark.sql import Window
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    h = sf.abs(sf.xxhash64("doc_id"))
+    h = sf.xxhash64("doc_id").bitwiseAND(sf.lit(0x7FFFFFFFFFFFFFFF))
     cpf_digits = sf.lpad((h % 99999999999).cast("string"), 11, "0")
     cpf = sf.concat_ws(
         "", sf.substring(cpf_digits, 1, 3), sf.lit("."),

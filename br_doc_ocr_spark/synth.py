@@ -164,7 +164,7 @@ def make_transcripts_spark(spark, n_turns: int, n_convs: int, skew_share: float 
     from pyspark.sql import functions as sf
 
     base = spark.range(n_turns).withColumnRenamed("id", "row_id")
-    h = sf.abs(sf.xxhash64(sf.col("row_id")))
+    h = sf.xxhash64(sf.col("row_id")).bitwiseAND(sf.lit(0x7FFFFFFFFFFFFFFF))
     conv_bucket = h % int(n_convs)
     df = base.select(
         sf.when(h % 1000 < int(skew_share * 1000), sf.lit("conv-heavy"))
@@ -173,7 +173,7 @@ def make_transcripts_spark(spark, n_turns: int, n_convs: int, skew_share: float 
         sf.col("row_id"),
         (h % 4).cast("int").alias("role_idx"),
         (h % 100).alias("kind_roll"),
-        sf.abs(sf.xxhash64(sf.col("row_id"), sf.lit(1))).alias("h2"),
+        sf.xxhash64(sf.col("row_id"), sf.lit(1)).bitwiseAND(sf.lit(0x7FFFFFFFFFFFFFFF)).alias("h2"),
     )
     cpf_digits = sf.lpad((sf.col("h2") % 99999999999).cast("string"), 11, "0")
     cpf = sf.concat_ws("", sf.substring(cpf_digits, 1, 3), sf.lit("."),

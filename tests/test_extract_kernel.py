@@ -93,3 +93,28 @@ def test_oracle_is_deterministic():
     b = oracle_extract(df.sample(frac=1.0, random_state=1))  # shuffled input
     assert a["extracted_text"].tolist() == b["extracted_text"].tolist()
     assert a["fields"].tolist() == b["fields"].tolist()
+
+
+def test_kernel_error_channel_captures_row_failures(monkeypatch):
+    """A row that makes the kernel raise becomes a status='error' row; the
+    batch never fails (reference error channel, cli/batch.py:155-160)."""
+    import pandas as pd
+
+    from br_doc_ocr_spark.core import extract as ex
+
+    original = ex.extract_turn
+
+    def exploding(text, allowed=None):
+        if text == "BOOM":
+            raise RuntimeError("synthetic kernel failure")
+        return original(text, allowed)
+
+    monkeypatch.setattr(ex, "extract_turn", exploding)
+    batch = pd.DataFrame({
+        "conv_id": ["c", "c"], "turn_idx": [0, 1], "role": ["user"] * 2,
+        "text": ["BOOM", "CPF 123.456.789-00"], "tool": [""] * 2,
+        "ts": pd.to_datetime(["2026-01-01"] * 2),
+    })
+    out = ex.extract_batch(batch)
+    assert list(out["status"]) == ["error", "success"]
+    assert out.iloc[0]["fields"] == {} and out.iloc[0]["extracted_text"] == ""
