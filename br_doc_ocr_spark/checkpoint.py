@@ -34,6 +34,7 @@ from pyspark.sql import functions as sf
 from br_doc_ocr_spark.pipeline import (
     read_transcripts,
     run_extraction,
+    unpersist_extraction,
     with_stable_order,
 )
 
@@ -116,7 +117,10 @@ def run_resumable(
         BUCKET_COL, bucket_of(sf.col("conv_id"), n_buckets))
     todo = transcripts.filter(sf.col(BUCKET_COL).isin([int(b) for b in pending]))
 
-    results, lineage = run_extraction(todo.drop(BUCKET_COL), salt=salt)
+    # persist: the bucket write and the lineage collection both consume the
+    # kernel output — one materialized pass instead of two kernel runs.
+    results, lineage = run_extraction(todo.drop(BUCKET_COL), salt=salt,
+                                      persist=lineage_path is not None)
     ordered = with_stable_order(results).withColumn(
         BUCKET_COL, bucket_of(sf.col("conv_id"), n_buckets))
 
@@ -142,6 +146,7 @@ def run_resumable(
         n_rows = int(lineage_pd["row_count"].sum())
         spark.createDataFrame(lineage_pd).coalesce(1).write.mode("append") \
             .parquet(lineage_path)
+    unpersist_extraction(results)
 
     # The manifest commits LAST — a crash before this line leaves the buckets
     # unrecorded and they are simply re-overwritten on resume (idempotent).

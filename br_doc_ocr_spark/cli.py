@@ -65,6 +65,75 @@ def cmd_resume(args) -> int:
     return 0
 
 
+def cmd_multidoc(args) -> int:
+    """FR-015: one output row per detected document segment."""
+    from br_doc_ocr_spark.pipeline import read_transcripts, run_multi_extraction
+
+    spark = _session(args)
+    docs = run_multi_extraction(read_transcripts(spark, args.input),
+                                salt=args.salt)
+    (docs.repartitionByRange("conv_id", "turn_idx", "doc_idx")
+     .sortWithinPartitions("conv_id", "turn_idx", "doc_idx")
+     .write.mode("overwrite").parquet(args.output))
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"output": args.output, "documents": n}))
+    return 0
+
+
+def cmd_classify(args) -> int:
+    """Payload-kind classification summary (reference `classify` command)."""
+    from pyspark.sql import functions as sf
+
+    from br_doc_ocr_spark.pipeline import (
+        read_transcripts,
+        run_extraction,
+        with_classification,
+    )
+
+    spark = _session(args)
+    results, _ = run_extraction(read_transcripts(spark, args.input))
+    summary = (with_classification(results)
+               .groupBy("payload_kind")
+               .agg(sf.count("*").alias("n"),
+                    sf.round(sf.avg("classify_confidence"), 4).alias("confidence"))
+               .collect())
+    print(json.dumps({r["payload_kind"]: {"n": r["n"], "confidence": r["confidence"]}
+                      for r in summary}))
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    """Score predictions vs a golden extraction table (reference `evaluate`)."""
+    from br_doc_ocr_spark import evaluation
+
+    spark = _session(args)
+    pred = spark.read.parquet(args.predictions)
+    golden = spark.read.parquet(args.golden)
+    report = evaluation.evaluate(pred, golden)
+    overall = report["overall"].collect()[0].asDict()
+    per_kind = [r.asDict() for r in report["per_kind"].collect()]
+    per_field = [r.asDict() for r in report["per_field"].collect()]
+    print(json.dumps({"overall": overall, "per_kind": per_kind,
+                      "per_field": per_field}))
+    # ≥0.90 accuracy gate, exit 1 below target (cli/evaluate.py:174-180)
+    return 0 if overall["accuracy"] >= args.target else 1
+
+
+def cmd_schemas(args) -> int:
+    """List / validate extraction schemas (reference `schemas` command)."""
+    from br_doc_ocr_spark.core import schemas as S
+
+    if args.validate:
+        schema = S.load_schema(args.validate)
+        print(json.dumps(S.validate_schema(schema)))
+        return 0
+    out = [{"type": name, "title": s.get("title"),
+            "fields": S.all_fields(s), "required": S.required_fields(s)}
+           for name, s in S.BUILTIN_SCHEMAS.items()]
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_synth(args) -> int:
     from br_doc_ocr_spark.synth import make_transcripts_spark
 
@@ -100,6 +169,27 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-buckets", type=int, default=None,
                    help="bound one invocation's snapshot size")
     p.set_defaults(func=cmd_resume)
+
+    p = sub.add_parser("multidoc", help="multi-document extraction (FR-015)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--salt", type=int, default=8)
+    p.set_defaults(func=cmd_multidoc)
+
+    p = sub.add_parser("classify", help="payload-kind classification summary")
+    p.add_argument("--input", required=True)
+    p.set_defaults(func=cmd_classify)
+
+    p = sub.add_parser("evaluate", help="score predictions vs golden")
+    p.add_argument("--predictions", required=True)
+    p.add_argument("--golden", required=True)
+    p.add_argument("--target", type=float, default=0.90,
+                   help="accuracy gate (exit 1 below)")
+    p.set_defaults(func=cmd_evaluate)
+
+    p = sub.add_parser("schemas", help="list or validate extraction schemas")
+    p.add_argument("--validate", help="schema file/JSON to validate")
+    p.set_defaults(func=cmd_schemas)
 
     p = sub.add_parser("synth", help="generate synthetic transcripts")
     p.add_argument("--turns", type=int, required=True)

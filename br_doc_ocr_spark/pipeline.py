@@ -82,6 +82,7 @@ def run_extraction(
     salt: int = 8,
     target_partitions: int | None = None,
     schema: dict | None = None,
+    persist: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the extraction stage → (results, lineage).
 
@@ -92,6 +93,12 @@ def run_extraction(
     schema-guided extraction (US4): a JSON-Schema dict whose field names
     bound the extracted field set (shipped to executors in the task closure —
     the broadcast-variable pattern for a driver-side config).
+
+    ``persist=True`` materializes the kernel output (memory, spilling to
+    executor disk) so that consuming BOTH returned frames runs the kernel
+    once, not twice — required whenever results AND lineage are acted on
+    (the write path measured 2× without it). Callers unpersist via
+    :func:`unpersist_extraction`.
     """
     spark = transcripts.sparkSession
     n = target_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -101,6 +108,10 @@ def run_extraction(
     extracted = salted.mapInPandas(
         _extract_partition(schema_field_names(schema)),
         schema=EXTRACT_WITH_LINEAGE_DDL)
+    if persist:
+        from pyspark import StorageLevel
+
+        extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
 
     # Lineage is an aggregation over the extraction output itself — computed
     # in the same plan (no second scan); counts are exact, wall-clock sums the
@@ -116,7 +127,15 @@ def run_extraction(
         sf.sum("_batch_ms").alias("wall_clock_ms"),
     )
     results = extracted.drop("_partition_id", "_batch_ms")
+    # handle for unpersist_extraction (DataFrame instances accept attributes)
+    results._extraction_cache = extracted if persist else None
     return results, lineage
+
+
+def unpersist_extraction(results: DataFrame) -> None:
+    cache = getattr(results, "_extraction_cache", None)
+    if cache is not None:
+        cache.unpersist()
 
 
 def with_stable_order(results: DataFrame) -> DataFrame:
@@ -146,7 +165,10 @@ def run_pipeline(
     ``run_id``/``snapshot_id`` (FIXTURES.md §5) for the resume manifest.
     """
     transcripts = read_transcripts(spark, input_path)
-    results, lineage = run_extraction(transcripts, salt=salt)
+    # persist: the ordered write AND the lineage write both consume the
+    # kernel output — without materialization the kernel runs twice.
+    results, lineage = run_extraction(transcripts, salt=salt,
+                                      persist=bool(output_path))
     ordered = with_stable_order(results)
     lineage = lineage.select(
         sf.lit(run_id).alias("run_id"),
@@ -155,10 +177,13 @@ def run_pipeline(
         "failed_count", "error_count", "wall_clock_ms",
     )
     if output_path:
-        ordered.write.mode("overwrite").parquet(output_path)
-        if lineage_path:
-            # Lineage is tiny — one row per task — coalesce to a single file.
-            lineage.coalesce(1).write.mode("append").parquet(lineage_path)
+        try:
+            ordered.write.mode("overwrite").parquet(output_path)
+            if lineage_path:
+                # Lineage is tiny — one row per task — single file.
+                lineage.coalesce(1).write.mode("append").parquet(lineage_path)
+        finally:
+            unpersist_extraction(results)
     return ordered, lineage
 
 
