@@ -31,7 +31,7 @@ BENCH_QUERIES = [
 
 
 def _run_extraction(spark, input_path: str, warm: bool = True,
-                    reps: int = 3) -> tuple[float, int, list[float]]:
+                    reps: int = 5) -> tuple[float, int, list[float]]:
     """Median of ``reps`` warm runs. The first mapInPandas job in a session
     pays the Python-worker fork+import storm (~5 s across 32 workers), so one
     untimed warm run precedes. Median-of-N because this sandbox is a shared

