@@ -45,7 +45,8 @@ def cmd_extract(args) -> int:
     spark = _session(args)
     ordered, _ = run_pipeline(
         spark, args.input, output_path=args.output,
-        lineage_path=args.lineage, salt=args.salt, run_id=args.run_id)
+        lineage_path=args.lineage, salt=args.salt, run_id=args.run_id,
+        max_payload_chars=args.max_payload_chars)
     summary = {r["status"]: r["n"] for r in
                ordered.groupBy("status").agg(sf.count("*").alias("n")).collect()}
     print(json.dumps({"output": args.output, "status_counts": summary}))
@@ -156,6 +157,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--lineage")
     p.add_argument("--salt", type=int, default=8)
     p.add_argument("--run-id", default="run-0")
+    p.add_argument("--max-payload-chars", type=int, default=None,
+                   help="cap payload length before the kernel (resize analog)")
     p.set_defaults(func=cmd_extract)
 
     p = sub.add_parser("resume", help="manifest-checkpointed resumable job")

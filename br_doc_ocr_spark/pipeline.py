@@ -83,6 +83,7 @@ def run_extraction(
     target_partitions: int | None = None,
     schema: dict | None = None,
     persist: bool = False,
+    max_payload_chars: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the extraction stage → (results, lineage).
 
@@ -94,6 +95,14 @@ def run_extraction(
     bound the extracted field set (shipped to executors in the task closure —
     the broadcast-variable pattern for a driver-side config).
 
+    ``max_payload_chars`` caps each payload BEFORE the Arrow crossing with a
+    codegen'd ``substring`` — the graft analog of the reference's
+    downscale-before-inference resize (``preprocessing.py:66-96``: cap at
+    1024px, never upscale): a pathological single-turn payload (SCALE.md
+    "what breaks first" #3 — a 1 GB turn) is bounded at scan speed instead of
+    blowing up a Python worker's Arrow batch. Short payloads pass through
+    unchanged (substring never pads); off by default.
+
     ``persist=True`` materializes the kernel output (memory, spilling to
     executor disk) so that consuming BOTH returned frames runs the kernel
     once, not twice — required whenever results AND lineage are acted on
@@ -102,6 +111,9 @@ def run_extraction(
     """
     spark = transcripts.sparkSession
     n = target_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if max_payload_chars is not None:
+        transcripts = transcripts.withColumn(
+            "text", sf.substring("text", 1, max_payload_chars))
     salted = transcripts.repartition(
         n, sf.col("conv_id"), sf.pmod(sf.col("turn_idx"), sf.lit(salt))
     )
@@ -158,6 +170,7 @@ def run_pipeline(
     salt: int = 8,
     run_id: str = "run-0",
     snapshot_id: str = "snap-0",
+    max_payload_chars: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """End-to-end: read → salted extract → order → (optionally) write.
 
@@ -168,7 +181,8 @@ def run_pipeline(
     # persist: the ordered write AND the lineage write both consume the
     # kernel output — without materialization the kernel runs twice.
     results, lineage = run_extraction(transcripts, salt=salt,
-                                      persist=bool(output_path))
+                                      persist=bool(output_path),
+                                      max_payload_chars=max_payload_chars)
     ordered = with_stable_order(results)
     lineage = lineage.select(
         sf.lit(run_id).alias("run_id"),

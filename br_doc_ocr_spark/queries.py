@@ -922,7 +922,28 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 @register(
-    "text_fingerprint", None,
+    "text_fingerprint",
+    # DuckDB rendering of textstats._fingerprint_str: fold the 61-bit
+    # polynomial rolling hash over codepoints with HUGEINT (h < 2^61 and
+    # base ≈ 2^20, so h*base + o < 2^81 never overflows 128-bit), seeded by
+    # list_prepend(0) so the first step is (0*B + ord(c0)) % M exactly like
+    # the Python loop; '' hashes to 0 (unicode('') is -1 in DuckDB).
+    """
+    WITH fp AS (
+      SELECT lang,
+        CASE WHEN text IS NULL OR text = '' THEN 0
+             ELSE list_reduce(
+               list_prepend(0::HUGEINT,
+                 list_transform(string_split(text, ''),
+                                c -> unicode(c)::HUGEINT)),
+               (h, o) -> (h * 1000003 + o) % 2305843009213693951)
+        END AS fingerprint
+      FROM documents
+    )
+    SELECT lang, count(DISTINCT fingerprint) AS n_distinct,
+           count(*) AS n_docs
+    FROM fp GROUP BY lang
+    """,
     "rolling-hash document fingerprints (Arrow kernel) — distinct count per lang")
 def q_text_fingerprint(spark, sf_dir):
     d = textstats.with_fingerprint(t(spark, sf_dir, "documents"))

@@ -114,3 +114,34 @@ def test_flagship_query_runs_on_testdata(spark):
     assert {"status", "payload_kind", "n_turns", "total_fields",
             "avg_extracted_chars"} == set(out.columns)
     assert sum(r["n_turns"] for r in rows) == 500  # all sf0.001 documents
+
+
+def test_max_payload_chars_caps_before_kernel(spark, tiny_transcripts,
+                                              tmp_path_factory):
+    """The pre-kernel substring cap (downscale-before-inference analog,
+    preprocessing.py:66-96): oversized payloads are bounded, short payloads
+    and row counts are untouched, and the capped run equals the oracle run
+    on the capped input (the cap is a plain input transform, not a semantic
+    fork in the kernel)."""
+    cap = 80
+    big = tiny_transcripts.copy()
+    big.loc[big.index[0], "text"] = "x" * 10_000 + " CPF 123.456.789-00"
+    big["ts"] = big["ts"].astype("datetime64[us]")  # Spark rejects NANOS
+    path = str(tmp_path_factory.mktemp("cap") / "t.parquet")
+    big.to_parquet(path, index=False)
+
+    results, _ = pipeline.run_extraction(
+        pipeline.read_transcripts(spark, path), salt=8, max_payload_chars=cap)
+    got = _normalize(results.toPandas())
+
+    capped_input = big.copy()
+    capped_input["text"] = capped_input["text"].str.slice(0, cap)
+    expected = _normalize(oracle_extract(capped_input))
+
+    assert len(got) == len(big)
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+    # the oversized row's extraction saw only `cap` chars → the CPF beyond
+    # the cap is not extracted
+    row = got[got["conv_id"] == big.iloc[0]["conv_id"]]
+    row = row[row["turn_idx"] == big.iloc[0]["turn_idx"]].iloc[0]
+    assert "cpf" not in dict(row["fields"])
