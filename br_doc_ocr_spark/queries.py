@@ -431,12 +431,15 @@ def q_fn_date_normalize(spark, sf_dir):
     "F6 parse_currency Brazilian-format chain (extraction.py:542-585)")
 def q_fn_currency_parse(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
+    # literal '.'/','-swaps use the non-regex replace (JVM StringReplace,
+    # ~3x regexp_replace); only the R$-prefix strip needs a real regex —
+    # mirrors the oracle SQL's replace/regexp_replace split exactly
     br = sf.concat(sf.lit("R$ "),
-                   sf.regexp_replace(sf.format_string("%.2f", "l_extendedprice"),
-                                     r"\.", ","))
-    parsed = sf.regexp_replace(
-        sf.regexp_replace(sf.regexp_replace(br, r"R\$\s*", ""), r"\.", ""),
-        ",", ".").cast("double")
+                   sf.replace(sf.format_string("%.2f", "l_extendedprice"),
+                              sf.lit("."), sf.lit(",")))
+    parsed = sf.replace(
+        sf.replace(sf.regexp_replace(br, r"R\$\s*", ""), sf.lit("."), sf.lit("")),
+        sf.lit(","), sf.lit(".")).cast("double")
     return (li.select("l_returnflag", parsed.alias("parsed"))
             .groupBy("l_returnflag")
             .agg(sf.round(sf.sum("parsed"), 2).alias("total_parsed"),

@@ -92,3 +92,21 @@ def test_bucket_partitioned_output_prunes(spark, tiny_transcripts_path, tmp_path
     assert "bucket" in part_line and "= 2" in part_line.replace("=2", "= 2")
     # and the pruned read returns only that bucket
     assert df.select("bucket").distinct().collect()[0][0] == 2
+
+
+def test_minhash_signatures_use_codegen_partial_agg(spark):
+    """The LSH signature path must be the explode + codegen'd 32-seed
+    projection + two-phase groupBy-min (map-side partial agg), NOT the
+    interpreted higher-order transform/array_min formulation — the latter
+    profiled ~10x slower (interpreted expression path, ~1 µs/element)."""
+    from br_doc_ocr_spark.ops import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sig = dedup.minhash_signatures(docs)
+    plan = plan_of(sig)
+    # partial + final min aggregation (two HashAggregate operators)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_min" in plan
+    # the 32 seed hashes sit in a single projection below the aggregate:
+    # no array_min anywhere in the signature plan (that's the interpreted path)
+    assert "array_min" not in plan
