@@ -110,3 +110,57 @@ def test_flag_low_confidence_properties(scores, threshold):
 @settings(max_examples=200, deadline=None)
 def test_derive_status_domain(data, low):
     assert F.derive_status(data, low) in ("success", "partial", "failed")
+
+
+# --- classifier length-dispatch equivalence ---------------------------------
+# The shipped _classify_token dispatches on token length (every classifier
+# pattern is fixed-length); this locks it against the original ordered
+# 5-pattern fullmatch chain on the candidate-token grammar.
+
+import re as _re
+
+_CHAIN = [
+    ("chave_acesso", _re.compile(r"\d{44}")),
+    ("cnpj", _re.compile(r"\d{2}\.\d{3}\.\d{3}/\d{4}-\d{2}|\d{14}")),
+    ("cpf", _re.compile(r"\d{3}\.\d{3}\.\d{3}-\d{2}|\d{11}")),
+    ("registro_geral", _re.compile(r"MG-\d{2}\.\d{3}\.\d{3}|\d{2}\.\d{3}\.\d{3}-\d")),
+    ("data", _re.compile(r"\d{2}/\d{2}/\d{4}|\d{4}-\d{2}-\d{2}")),
+]
+
+
+def _classify_reference(token: str):
+    c0 = token[0]
+    if c0 == "R" and token[1] == "$":
+        return "valor"
+    if c0.isdigit() or c0 == "M":
+        for name, pattern in _CHAIN:
+            if pattern.fullmatch(token):
+                return name
+        return None
+    if _re.fullmatch(r"(?:SSP|DETRAN|PC|IFP|SDS|SESP|IGP)-[A-Z]{2}|IIRGD", token):
+        return "orgao_emissor"
+    return None
+
+
+@given(st.text(alphabet="0123456789./-", min_size=1, max_size=50)
+       .filter(lambda s: s[0].isdigit()))
+@settings(max_examples=300)
+def test_classify_token_matches_ordered_chain(token):
+    from br_doc_ocr_spark.core.extract import _classify_token
+
+    assert _classify_token(token) == _classify_reference(token)
+
+
+@given(st.sampled_from([
+    "12345678901234567890123456789012345678901234",  # 44
+    "12345678901234", "12.345.678/0001-90",          # cnpj
+    "12345678901", "123.456.789-01",                 # cpf
+    "MG-12.345.678", "12.345.678-9",                 # rg
+    "12/05/1990", "1990-05-12",                      # data
+    "R$ 1.234,56", "SSP-SP", "IIRGD", "DETRAN-RJ",
+    "1234567890123",  # 13 digits: nothing
+]))
+def test_classify_token_canonical_examples(token):
+    from br_doc_ocr_spark.core.extract import _classify_token
+
+    assert _classify_token(token) == _classify_reference(token)
