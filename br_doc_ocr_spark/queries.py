@@ -762,7 +762,9 @@ def q_dedup_token_jaccard(spark, sf_dir):
     mutated = d.filter(sf.col("doc_id") % 5 == 0).select(
         (sf.col("doc_id") + 1000000).alias("id"),
         sf.concat(sf.col("text"), sf.lit(" zz mutation token")).alias("text"))
-    corpus = d.select(sf.col("doc_id").alias("id"), "text").unionByName(mutated)
+    # single-row-group input: parallelize tokenization across cores
+    corpus = (d.select(sf.col("doc_id").alias("id"), "text").unionByName(mutated)
+              .repartition(spark.sparkContext.defaultParallelism))
     toks = corpus.select(
         "id", sf.array_distinct(sf.split(sf.lower(sf.trim("text")), r"\s+")).alias("tok"))
     a = toks.alias("a")
@@ -906,7 +908,11 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     mutated = d.filter(sf.col("doc_id") % 5 == 0).select(
         (sf.col("doc_id") + 1000000).alias("doc_id"),
         sf.concat(sf.col("text"), sf.lit(" zz mutation token")).alias("text"))
-    corpus = d.select("doc_id", "text").unionByName(mutated)
+    # testdata documents is ONE row-group — unsplittable, so the shingle
+    # projection would run on a single core; at real scale the scan arrives
+    # multi-split and this repartition is unnecessary (profiled 3.5s -> 0.9s)
+    corpus = (d.select("doc_id", "text").unionByName(mutated)
+              .repartition(spark.sparkContext.defaultParallelism))
     return (dedup.minhash_near_duplicates(corpus, threshold=0.5)
             .orderBy("id_a", "id_b"))
 
@@ -919,7 +925,9 @@ def q_dedup_simhash(spark, sf_dir):
     mutated = d.filter(sf.col("doc_id") % 5 == 0).select(
         (sf.col("doc_id") + 1000000).alias("doc_id"),
         sf.concat(sf.col("text"), sf.lit(" zz")).alias("text"))
-    corpus = d.select("doc_id", "text").unionByName(mutated)
+    # single-row-group input: spread the Arrow simhash kernel across cores
+    corpus = (d.select("doc_id", "text").unionByName(mutated)
+              .repartition(spark.sparkContext.defaultParallelism))
     return (dedup.simhash_near_duplicates(corpus, max_hamming=3)
             .orderBy("id_a", "id_b"))
 
