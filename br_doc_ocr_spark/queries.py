@@ -28,6 +28,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``t()`` plus a benchmark-context repartition. The testdata files are
+    single parquet row groups — unsplittable, so a CPU-heavy per-row
+    projection (regex chains, stopword scans, rolling hashes) would run on
+    ONE core no matter the cluster width. At real scale the scan arrives
+    multi-split and this exchange is unnecessary; results are unaffected
+    (used only under aggregations / row-wise maps)."""
+    return t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism)
+
+
 @dataclass
 class QueryDef:
     """One catalog entry: Spark implementation + optional DuckDB oracle SQL."""
@@ -430,7 +441,7 @@ def q_fn_date_normalize(spark, sf_dir):
     """,
     "F6 parse_currency Brazilian-format chain (extraction.py:542-585)")
 def q_fn_currency_parse(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem")
+    li = t_wide(spark, sf_dir, "lineitem")
     # literal '.'/','-swaps use the non-regex replace (JVM StringReplace,
     # ~3x regexp_replace); only the R$-prefix strip needs a real regex —
     # mirrors the oracle SQL's replace/regexp_replace split exactly
@@ -686,7 +697,7 @@ def q_eval_set_prf(spark, sf_dir):
     """,
     "token counting per language")
 def q_text_token_stats(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = t_wide(spark, sf_dir, "documents")
     return (d.select("lang", textstats.token_count(sf.col("text")).alias("nt"))
             .groupBy("lang")
             .agg(sf.round(sf.avg("nt"), 6).alias("avg_tokens"),
@@ -716,7 +727,7 @@ def q_text_token_stats(spark, sf_dir):
     """,
     "quality scoring: length/punct/stopword ratio filter")
 def q_text_quality(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = t_wide(spark, sf_dir, "documents")
     return (d.select("source", textstats.quality_score(sf.col("text")).alias("q"))
             .groupBy("source")
             .agg(sf.round(sf.avg("q"), 6).alias("avg_quality"),
@@ -957,7 +968,7 @@ def q_dedup_simhash(spark, sf_dir):
     """,
     "rolling-hash document fingerprints (Arrow kernel) — distinct count per lang")
 def q_text_fingerprint(spark, sf_dir):
-    d = textstats.with_fingerprint(t(spark, sf_dir, "documents"))
+    d = textstats.with_fingerprint(t_wide(spark, sf_dir, "documents"))
     return (d.groupBy("lang")
             .agg(sf.countDistinct("fingerprint").alias("n_distinct"),
                  sf.count("*").alias("n_docs")))
@@ -1097,7 +1108,7 @@ def _langid_oracle_sql() -> str:
     "text_langid", _langid_oracle_sql(),
     "language-ID stopword heuristic vs the lang label — accuracy per lang")
 def q_text_langid(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = t_wide(spark, sf_dir, "documents")
     pred = textstats.predict_lang(sf.col("text"))
     return (d.select("lang", pred.alias("lang_pred"))
             .groupBy("lang")
