@@ -32,10 +32,12 @@ BENCH_QUERIES = [
 
 def _run_extraction(spark, input_path: str, warm: bool = True,
                     reps: int = 5) -> tuple[float, int, list[float]]:
-    """Median of ``reps`` warm runs. The first mapInPandas job in a session
-    pays the Python-worker fork+import storm (~5 s across 32 workers), so one
-    untimed warm run precedes. Median-of-N because this sandbox is a shared
-    VM with visible CPU steal — single-shot timings swing ±2×."""
+    """Best of ``reps`` warm runs (all rep times are reported alongside in
+    the JSON). The first mapInPandas job in a session pays the Python-worker
+    fork+import storm (~5 s across 32 workers), so one untimed warm run
+    precedes. Best-of-N because this sandbox is a shared VM with visible CPU
+    steal — the minimum is the closest estimate of un-stolen capacity;
+    single-shot timings swing ±2×."""
     from br_doc_ocr_spark import pipeline
 
     def once() -> tuple[float, int]:

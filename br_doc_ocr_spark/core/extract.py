@@ -108,10 +108,16 @@ def _classify_token(token: str) -> str | None:
         return "orgao_emissor"
     return None
 
-# Cheap pre-filter: a payload with no digit and no 'R$' cannot contain any
-# field — the projection-pushdown analog of the reference's
-# downscale-before-inference trick (preprocessing.py:66-96).
-_ANY_FIELD_HINT = re.compile(r"\d")
+# Cheap pre-filter: every candidate branch implies one of these substrings —
+# a digit (currency/CPF/CNPJ/RG/NFe/date/MG- all contain digits), an issuer
+# token (always written with its '-UF' suffix except IIRGD), or the word
+# 'categoria'. A payload matching none cannot produce any field, so the
+# scanner is skipped — the projection-pushdown analog of the reference's
+# downscale-before-inference trick (preprocessing.py:66-96). False positives
+# only cost the scan; false negatives would drop fields (a digit-free
+# "Categoria: AB" payload was silently skipped before this alternation).
+_ANY_FIELD_HINT = re.compile(
+    r"\d|[Cc]ategoria|SSP-|DETRAN-|PC-|IFP-|SDS-|SESP-|IGP-|IIRGD")
 
 
 def scan_fields(

@@ -769,13 +769,11 @@ def q_dedup_exact_groups(spark, sf_dir):
     """,
     "n-gram/token Jaccard near-dup verify on a synthetic mutated corpus")
 def q_dedup_token_jaccard(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = t_wide(spark, sf_dir, "documents")
     mutated = d.filter(sf.col("doc_id") % 5 == 0).select(
         (sf.col("doc_id") + 1000000).alias("id"),
         sf.concat(sf.col("text"), sf.lit(" zz mutation token")).alias("text"))
-    # single-row-group input: parallelize tokenization across cores
-    corpus = (d.select(sf.col("doc_id").alias("id"), "text").unionByName(mutated)
-              .repartition(spark.sparkContext.defaultParallelism))
+    corpus = d.select(sf.col("doc_id").alias("id"), "text").unionByName(mutated)
     toks = corpus.select(
         "id", sf.array_distinct(sf.split(sf.lower(sf.trim("text")), r"\s+")).alias("tok"))
     a = toks.alias("a")
@@ -915,15 +913,13 @@ def q_extract_field_counts(spark, sf_dir):
     "MinHash+LSH near-dup pairs (shingle→minhash→band→bucket join) on the "
     "mutated corpus; verified vs exact Jaccard in tests/test_ops.py")
 def q_dedup_minhash_lsh(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    # t_wide: the unsplittable single-row-group scan would otherwise run the
+    # shingle projection on one core (profiled 3.5s -> 1.0s at local[32])
+    d = t_wide(spark, sf_dir, "documents")
     mutated = d.filter(sf.col("doc_id") % 5 == 0).select(
         (sf.col("doc_id") + 1000000).alias("doc_id"),
         sf.concat(sf.col("text"), sf.lit(" zz mutation token")).alias("text"))
-    # testdata documents is ONE row-group — unsplittable, so the shingle
-    # projection would run on a single core; at real scale the scan arrives
-    # multi-split and this repartition is unnecessary (profiled 3.5s -> 0.9s)
-    corpus = (d.select("doc_id", "text").unionByName(mutated)
-              .repartition(spark.sparkContext.defaultParallelism))
+    corpus = d.select("doc_id", "text").unionByName(mutated)
     return (dedup.minhash_near_duplicates(corpus, threshold=0.5)
             .orderBy("id_a", "id_b"))
 
@@ -932,13 +928,11 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     "dedup_simhash", None,
     "SimHash near-dup pairs (64-bit signature, 16-bit-chunk pigeonhole join)")
 def q_dedup_simhash(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = t_wide(spark, sf_dir, "documents")  # spread the Arrow simhash kernel
     mutated = d.filter(sf.col("doc_id") % 5 == 0).select(
         (sf.col("doc_id") + 1000000).alias("doc_id"),
         sf.concat(sf.col("text"), sf.lit(" zz")).alias("text"))
-    # single-row-group input: spread the Arrow simhash kernel across cores
-    corpus = (d.select("doc_id", "text").unionByName(mutated)
-              .repartition(spark.sparkContext.defaultParallelism))
+    corpus = d.select("doc_id", "text").unionByName(mutated)
     return (dedup.simhash_near_duplicates(corpus, max_hamming=3)
             .orderBy("id_a", "id_b"))
 

@@ -118,3 +118,23 @@ def test_kernel_error_channel_captures_row_failures(monkeypatch):
     out = ex.extract_batch(batch)
     assert list(out["status"]) == ["error", "success"]
     assert out.iloc[0]["fields"] == {} and out.iloc[0]["extracted_text"] == ""
+
+
+def test_scan_fields_digit_free_payloads():
+    """Regression: the candidate-scan prefilter must not skip payloads whose
+    only fields are digit-free (CNH categoria, issuer acronyms) — previously
+    a bare '\\d' gate dropped them silently."""
+    from br_doc_ocr_spark.core.extract import scan_fields
+
+    fields, spans, scores = scan_fields("Categoria: AB")
+    assert fields == {"categoria_habilitacao": "AB"}
+    assert spans and scores["categoria_habilitacao"] == 0.95
+
+    fields, spans, _ = scan_fields("Orgao emissor SSP-SP")
+    assert fields == {"orgao_emissor": "SSP-SP"}
+
+    fields, _, _ = scan_fields("emitido por IIRGD")
+    assert fields == {"orgao_emissor": "IIRGD"}
+
+    # truly field-free payloads still fast-path to empty
+    assert scan_fields("plain prose with no fields at all") == ({}, [], {})
