@@ -106,16 +106,38 @@ def _pdf_payload(rng: np.random.RandomState) -> str:
     return "\n".join(lines)
 
 
+# Deterministic edge-case payloads appended as one fixed conversation
+# (``conv-contract``) AFTER the seeded stream, so the random rows stay
+# byte-identical across versions while the goldens still exercise the
+# kernel's contract edges: digit-free fields (the candidate prefilter must
+# not skip them), empty/whitespace payloads, malformed markup, a giant digit
+# run, and a multi-separator payload.
+CONTRACT_PAYLOADS = (
+    "Categoria: AB",                           # digit-free CNH category
+    "emitido por SSP-SP",                      # digit-free issuer
+    "documento IIRGD sem numero",              # bare IIRGD token
+    "",                                        # empty payload
+    "   \n\t  ",                               # whitespace only
+    "<html><body><div id='main'><p>unclosed",  # malformed HTML
+    "<p>Categoria: E</p>",                     # field inside markup, no digits
+    "9" * 60,                                  # digit run longer than any field
+    "---\n---\n---",                           # separators only (multidoc edge)
+    "R$",                                      # currency prefix, no amount
+)
+
+
 def make_transcripts_pandas(
     n_convs: int = 40,
     mean_turns: int = 12,
     seed: int = 42,
     skew_conv: bool = True,
     skew_factor: int = 100,
+    contract_conv: bool = True,
 ) -> pd.DataFrame:
     """Seeded pandas transcript table; one ``conv-heavy`` conversation gets
     ``skew_factor``× the median turn count to exercise salting
-    (FIXTURES.md §1)."""
+    (FIXTURES.md §1); ``contract_conv`` appends the fixed ``conv-contract``
+    edge-payload conversation (CONTRACT_PAYLOADS)."""
     rng = np.random.RandomState(seed)
     rows: list[tuple] = []
     conv_specs = [(f"conv-{i:05d}", int(rng.randint(2, 2 * mean_turns)))
@@ -144,6 +166,11 @@ def make_transcripts_pandas(
             ts_counter += int(rng.randint(1, 90))
             rows.append((conv_id, turn_idx, role, text, tool,
                          BASE_EPOCH + pd.Timedelta(seconds=ts_counter)))
+    if contract_conv:
+        for turn_idx, text in enumerate(CONTRACT_PAYLOADS):
+            ts_counter += 7
+            rows.append(("conv-contract", turn_idx, ROLES[turn_idx % len(ROLES)],
+                         text, "", BASE_EPOCH + pd.Timedelta(seconds=ts_counter)))
     df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
     df["turn_idx"] = df["turn_idx"].astype("int32")
     return df

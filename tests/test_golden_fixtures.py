@@ -22,7 +22,7 @@ def load_transcripts() -> pd.DataFrame:
 def test_kernel_reproduces_committed_golden():
     golden = pd.read_parquet(FIXTURES / "golden_extractions.parquet")
     got = oracle_extract(load_transcripts())
-    assert len(got) == len(golden) == 538
+    assert len(got) == len(golden) == 548
     assert got["extracted_text"].tolist() == golden["extracted_text"].tolist()
     assert got["payload_kind"].tolist() == golden["payload_kind"].tolist()
     assert got["status"].tolist() == golden["status"].tolist()
@@ -36,7 +36,7 @@ def test_kernel_reproduces_committed_golden():
 def test_multidoc_kernel_reproduces_committed_golden():
     golden = pd.read_parquet(FIXTURES / "golden_documents.parquet")
     got = oracle_extract_documents(load_transcripts())
-    assert len(got) == len(golden) == 609
+    assert len(got) == len(golden) == 619
     assert got["extracted_text"].tolist() == golden["extracted_text"].tolist()
     assert got["n_docs"].tolist() == golden["n_docs"].tolist()
     assert [json.dumps(m, sort_keys=True) for m in got["fields"]] == \
