@@ -174,21 +174,24 @@ def minhash_lsh_candidates(
     ).select("id", "sig", "band.band_idx", "band.band_hash")
 
     l, r = banded.alias("l"), banded.alias("r")
-    pairs = (
+    matches = sf.filter(
+        sf.zip_with(sf.col("l.sig"), sf.col("r.sig"),
+                    lambda a, b: (a == b).cast("int")),
+        lambda x: x == 1,
+    )
+    # est_similarity is computed BEFORE the pair dedup: it depends only on the
+    # two ids (their signatures), so every duplicate band-collision row carries
+    # the same value — the dropDuplicates shuffle then moves 24-byte
+    # (id_a, id_b, est) rows instead of two num_hashes-long signature arrays
+    # (~20× less shuffle volume for a few redundant 32-element comparisons).
+    return (
         l.join(r, [sf.col("l.band_idx") == sf.col("r.band_idx"),
                    sf.col("l.band_hash") == sf.col("r.band_hash"),
                    sf.col("l.id") < sf.col("r.id")])
         .select(sf.col("l.id").alias("id_a"), sf.col("r.id").alias("id_b"),
-                sf.col("l.sig").alias("sig_a"), sf.col("r.sig").alias("sig_b"))
+                sf.round(sf.size(matches) / sf.lit(float(num_hashes)), 6)
+                  .alias("est_similarity"))
         .dropDuplicates(["id_a", "id_b"])
-    )
-    matches = sf.filter(
-        sf.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
-        lambda x: x == 1,
-    )
-    return pairs.select(
-        "id_a", "id_b",
-        sf.round(sf.size(matches) / sf.lit(float(num_hashes)), 6).alias("est_similarity"),
     )
 
 
