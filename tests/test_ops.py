@@ -110,12 +110,18 @@ def test_knn_join_per_query_topk(vectors):
 
 
 def test_ivf_topk_prunes_to_query_cell(vectors):
-    # quantizer bit i set iff dim i > 0: [1,0,0,0] → bucket 1 (only vec 0);
-    # [1,0.05,0,0] → bucket 3 (vecs 1 and 4)
-    out = similarity.ivf_topk(vectors, [1.0, 0.0, 0.0, 0.0], k=10, n_bits=4)
+    # single-probe (probe_hamming=0), quantizer bit i set iff dim i > 0:
+    # [1,0,0,0] → bucket 1 (only vec 0); [1,0.05,0,0] → bucket 3 (vecs 1, 4)
+    out = similarity.ivf_topk(vectors, [1.0, 0.0, 0.0, 0.0], k=10, n_bits=4,
+                              probe_hamming=0)
     assert {r["vec_id"] for r in out.collect()} == {0}
-    out = similarity.ivf_topk(vectors, [1.0, 0.05, 0.0, 0.0], k=10, n_bits=4)
+    out = similarity.ivf_topk(vectors, [1.0, 0.05, 0.0, 0.0], k=10, n_bits=4,
+                              probe_hamming=0)
     assert {r["vec_id"] for r in out.collect()} == {1, 4}
+    # default multi-probe widens bucket 1 to its Hamming-1 neighbors
+    # {0,3,5,9}: bucket 3 holds vecs 1 and 4, bucket 0 holds vec 3
+    out = similarity.ivf_topk(vectors, [1.0, 0.0, 0.0, 0.0], k=10, n_bits=4)
+    assert {0, 1, 4} <= {r["vec_id"] for r in out.collect()}
 
 
 # --- textstats ---------------------------------------------------------------
@@ -161,3 +167,18 @@ def test_fingerprint_deterministic(spark):
     fp = {r["doc_id"]: r["fingerprint"] for r in rows}
     assert fp[1] == fp[2] != fp[3]
     assert fp[1] == textstats._fingerprint_str("abc")
+
+
+def test_ivf_multiprobe_recall_beats_single_probe(spark):
+    """Multi-probe IVF (Hamming-1 neighbor cells) must recover most of the
+    brute-force top-k that single-probe misses on the sandbox embeddings
+    (measured: 0.1-0.3 single -> 0.6-0.9 multi)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 0").select("embedding").first()[0]]
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, q, 10).collect()}
+    single = {r["vec_id"] for r in
+              similarity.ivf_topk(emb, q, 10, n_bits=4, probe_hamming=0).collect()}
+    multi = {r["vec_id"] for r in
+             similarity.ivf_topk(emb, q, 10, n_bits=4, probe_hamming=1).collect()}
+    assert len(exact & multi) >= len(exact & single)
+    assert len(exact & multi) >= 6  # recall@10 ≥ 0.6 on this fixed corpus
