@@ -106,24 +106,43 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
 
 def cosine_near_duplicates(embeddings: DataFrame, threshold: float = 0.9,
                            id_col: str = "vec_id", vec_col: str = "embedding",
-                           n_bits: int = 8) -> DataFrame:
+                           n_bits: int = 8,
+                           probe_hamming: int = 1) -> DataFrame:
     """Embedding-cosine near-dup pairs at scale: candidates from a self
-    equi-join on the sign-bit quantizer cell (vectors with cosine ~1 share
-    sign patterns with high probability), then exact cosine verification.
+    equi-join on the sign-bit quantizer cell, then exact cosine verification.
 
-    Recall tradeoff is explicit: pairs straddling a sign flip on one of the
-    first ``n_bits`` dims are missed — the standard bucketed-LSH recall/cost
-    dial (lower n_bits = higher recall, bigger cells).
+    Multi-probe recall: the LEFT side explodes each row into its home cell
+    plus every cell within Hamming ``probe_hamming`` (the RIGHT side stays on
+    its home cell — XOR distance is symmetric, so one-sided probing finds
+    every pair whose buckets differ by ≤ probe_hamming, at (n_bits+1)× left
+    rows instead of a non-equi join that would break the shuffle-join plan).
+    Pairs found in several shared cells are deduped before verification.
+    Residual recall dial: pairs straddling > probe_hamming sign flips are
+    missed — lower n_bits or raise probe_hamming (cost: bigger cells /
+    more probes).
     """
     bucketed = embeddings.select(
         sf.col(id_col).alias("id"),
         sf.col(vec_col).cast("array<double>").alias("v"),
         ivf_bucket(sf.col(vec_col).cast("array<double>"), n_bits).alias("bucket"),
     )
-    l, r = bucketed.alias("l"), bucketed.alias("r")
-    return (l.join(r, [sf.col("l.bucket") == sf.col("r.bucket"),
+    probe_cells = [sf.col("bucket")]
+    frontier = [sf.col("bucket")]
+    for _ in range(probe_hamming):
+        frontier = [c.bitwiseXOR(sf.lit(1 << i))
+                    for c in frontier for i in range(n_bits)]
+        probe_cells += frontier
+    probes = bucketed.select(
+        "id", "v", sf.explode(sf.array_distinct(sf.array(*probe_cells)))
+        .alias("cell"))
+    l, r = probes.alias("l"), bucketed.alias("r")
+    # cosine computed before the pair dedup (identical on every duplicate
+    # cell-collision row) so the dropDuplicates shuffle carries 24-byte rows,
+    # not the vectors — same discipline as the MinHash candidate join.
+    return (l.join(r, [sf.col("l.cell") == sf.col("r.bucket"),
                        sf.col("l.id") < sf.col("r.id")])
             .select(sf.col("l.id").alias("id_a"), sf.col("r.id").alias("id_b"),
                     sf.round(cosine(sf.col("l.v"), sf.col("r.v")), 6)
                     .alias("cosine"))
+            .dropDuplicates(["id_a", "id_b"])
             .filter(sf.col("cosine") >= threshold))

@@ -878,13 +878,16 @@ def q_ann_knn_join(spark, sf_dir):
     SELECT * FROM (
       SELECT l.id AS id_a, r.id AS id_b,
              round(list_cosine_similarity(l.v, r.v), 6) AS cosine
-      FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id)
+      FROM b l JOIN b r
+        ON xor(l.bucket, r.bucket) IN (0, 1, 2, 4, 8) AND l.id < r.id)
     WHERE cosine >= 0.3
     """,
-    "embedding-cosine near-dup: sign-bucket candidate join + exact verify")
+    "embedding-cosine near-dup: sign-bucket candidate join (Hamming-1 "
+    "multi-probe) + exact verify")
 def q_dedup_embedding_cosine(spark, sf_dir):
     return similarity.cosine_near_duplicates(
-        t(spark, sf_dir, "embeddings"), threshold=0.3, n_bits=4)
+        t(spark, sf_dir, "embeddings"), threshold=0.3, n_bits=4,
+        probe_hamming=1)
 
 
 # ===========================================================================
