@@ -85,10 +85,15 @@ def main() -> None:
 
     for name in BENCH_QUERIES:
         qd = REGISTRY[name]
-        t0 = time.perf_counter()
-        df = qd.fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2: this host shows bursty CPU steal (single-shot catalog
+        # timings measured swinging 0.6s ↔ 13s for the same query)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qd.fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
 
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
         # N vs 4N parallelism on the SAME (4× larger) input — larger so the
