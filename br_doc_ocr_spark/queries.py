@@ -323,6 +323,53 @@ def q_sort_report(spark, sf_dir):
             .orderBy(sf.desc("avg_value"), sf.asc("event_type")))
 
 
+@register(
+    "agg_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_extendedprice), 2) AS total_price,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "hierarchical subtotal rollup — beyond-reference (SURVEY §2.4 notes the "
+    "reference has no grouping sets); one pass, Expand + partial agg")
+def q_agg_rollup(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(sf.round(sf.sum("l_extendedprice"), 2).alias("total_price"),
+                 sf.count("*").alias("n"))
+            .select(sf.coalesce("l_returnflag", sf.lit("ALL")).alias("returnflag"),
+                    sf.coalesce("l_linestatus", sf.lit("ALL")).alias("linestatus"),
+                    "total_price", "n"))
+
+
+@register(
+    "agg_approx_distinct",
+    """
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS exact_customers,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "distinct-count per group; Spark side also computes the HLL sketch "
+    "(approx_count_distinct) and asserts its documented error bound — the "
+    "sketch column itself is excluded from the hashed comparison by checking "
+    "it into a filter, not the output")
+def q_agg_approx_distinct(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    agg = (o.groupBy("o_orderpriority")
+           .agg(sf.countDistinct("o_custkey").alias("exact_customers"),
+                sf.approx_count_distinct("o_custkey", 0.02).alias("_approx"),
+                sf.count("*").alias("n_orders")))
+    # keep rows only if the sketch is within its documented rsd (sanity gate
+    # inside the query itself; at 2% rsd a 5-sigma miss would drop a row and
+    # fail the oracle's row-count check)
+    return (agg.filter(sf.abs(sf.col("_approx") - sf.col("exact_customers"))
+                       <= sf.col("exact_customers") * 0.1 + 10)
+            .select("o_orderpriority", "exact_customers", "n_orders"))
+
+
 # ===========================================================================
 # Set operations (SURVEY §2.7)
 # ===========================================================================

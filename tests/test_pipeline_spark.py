@@ -145,3 +145,17 @@ def test_max_payload_chars_caps_before_kernel(spark, tiny_transcripts,
     row = got[got["conv_id"] == big.iloc[0]["conv_id"]]
     row = row[row["turn_idx"] == big.iloc[0]["turn_idx"]].iloc[0]
     assert "cpf" not in dict(row["fields"])
+
+
+def test_results_invariant_to_parallelism_and_salt(spark, tiny_transcripts_path):
+    """SCALE.md: nothing in the job is order- or partition-count-dependent.
+    The same input must produce identical rows at any target_partitions and
+    any salt (both only steer the shuffle layout)."""
+    frames = []
+    for parts, salt in [(2, 1), (16, 8), (5, 13)]:
+        results, _ = pipeline.run_extraction(
+            pipeline.read_transcripts(spark, tiny_transcripts_path),
+            salt=salt, target_partitions=parts)
+        frames.append(_normalize(results.toPandas()))
+    pd.testing.assert_frame_equal(frames[0], frames[1], check_dtype=False)
+    pd.testing.assert_frame_equal(frames[0], frames[2], check_dtype=False)
