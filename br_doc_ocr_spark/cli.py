@@ -43,10 +43,15 @@ def cmd_extract(args) -> int:
     from br_doc_ocr_spark.pipeline import run_pipeline
 
     spark = _session(args)
+    schema = None
+    if args.schema:
+        from br_doc_ocr_spark.core.schemas import load_schema
+
+        schema = load_schema(args.schema)
     ordered, _ = run_pipeline(
         spark, args.input, output_path=args.output,
         lineage_path=args.lineage, salt=args.salt, run_id=args.run_id,
-        max_payload_chars=args.max_payload_chars)
+        max_payload_chars=args.max_payload_chars, schema=schema)
     summary = {r["status"]: r["n"] for r in
                ordered.groupBy("status").agg(sf.count("*").alias("n")).collect()}
     print(json.dumps({"output": args.output, "status_counts": summary}))
@@ -159,6 +164,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--run-id", default="run-0")
     p.add_argument("--max-payload-chars", type=int, default=None,
                    help="cap payload length before the kernel (resize analog)")
+    p.add_argument("--schema", default=None,
+                   help="schema-guided extraction (US4): JSON-Schema as a "
+                        "dict-literal string or a file path")
     p.set_defaults(func=cmd_extract)
 
     p = sub.add_parser("resume", help="manifest-checkpointed resumable job")

@@ -171,18 +171,22 @@ def run_pipeline(
     run_id: str = "run-0",
     snapshot_id: str = "snap-0",
     max_payload_chars: int | None = None,
+    schema: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """End-to-end: read → salted extract → order → (optionally) write.
 
     Writes are idempotent overwrites; lineage rows are stamped with
     ``run_id``/``snapshot_id`` (FIXTURES.md §5) for the resume manifest.
+    ``schema`` enables schema-guided extraction (US4) — see
+    :func:`run_extraction`.
     """
     transcripts = read_transcripts(spark, input_path)
     # persist: the ordered write AND the lineage write both consume the
     # kernel output — without materialization the kernel runs twice.
     results, lineage = run_extraction(transcripts, salt=salt,
                                       persist=bool(output_path),
-                                      max_payload_chars=max_payload_chars)
+                                      max_payload_chars=max_payload_chars,
+                                      schema=schema)
     ordered = with_stable_order(results)
     lineage = lineage.select(
         sf.lit(run_id).alias("run_id"),
