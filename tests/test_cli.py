@@ -1,0 +1,96 @@
+"""CLI integration layer (reference: tests/integration/test_cli_commands.py —
+Typer CliRunner, exit codes, output shape). The graft CLI is argparse over
+Spark jobs; each subcommand runs against the tiny corpus and must exit 0
+with parseable JSON on stdout. The active pytest SparkSession is reused via
+SparkSession.getActiveSession(), so no per-command session cost."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from br_doc_ocr_spark import cli
+
+
+def run_cli(capsys, *argv: str) -> dict | list | None:
+    rc = cli.main(list(argv))
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    return json.loads(out[-1]) if out else None
+
+
+def test_extract_command(spark, tiny_transcripts_path, tmp_path, capsys):
+    payload = run_cli(
+        capsys, "extract", "--input", tiny_transcripts_path,
+        "--output", str(tmp_path / "out"), "--lineage", str(tmp_path / "lin"))
+    assert payload["output"].endswith("out")
+    counts = payload["status_counts"]
+    assert set(counts) <= {"success", "partial", "failed", "error"}
+    assert sum(counts.values()) == 548  # every tiny-corpus turn accounted for
+
+
+def test_extract_with_schema_and_cap(spark, tiny_transcripts_path, tmp_path,
+                                     capsys):
+    schema = tmp_path / "s.json"
+    schema.write_text(json.dumps({
+        "type": "object", "properties": {"cpf": {"type": "string"}},
+        "required": ["cpf"]}))
+    payload = run_cli(
+        capsys, "extract", "--input", tiny_transcripts_path,
+        "--output", str(tmp_path / "out"), "--schema", str(schema),
+        "--max-payload-chars", "4000")
+    assert sum(payload["status_counts"].values()) == 548
+    got = spark.read.parquet(str(tmp_path / "out"))
+    from pyspark.sql import functions as sf
+
+    keys = {r[0] for r in
+            got.select(sf.explode(sf.map_keys("fields"))).distinct().collect()}
+    assert keys == {"cpf"}
+
+
+def test_resume_command_completes_in_two_invocations(spark,
+                                                     tiny_transcripts_path,
+                                                     tmp_path, capsys):
+    args = ["resume", "--input", tiny_transcripts_path,
+            "--output", str(tmp_path / "out"),
+            "--manifest", str(tmp_path / "m.json"), "--buckets", "4",
+            "--max-buckets", "2"]
+    first = run_cli(capsys, *args)
+    assert len(first["processed_buckets"]) == 2
+    assert len(first["pending_after"]) == 2
+    second = run_cli(capsys, *args)
+    assert second["pending_after"] == []
+    third = run_cli(capsys, *args)  # idempotent no-op
+    assert third["processed_buckets"] == []
+
+
+def test_classify_command(spark, tiny_transcripts_path, capsys):
+    payload = run_cli(capsys, "classify", "--input", tiny_transcripts_path)
+    assert set(payload) <= {"html", "pdf", "prose", "unknown"}
+    assert sum(v["n"] for v in payload.values()) == 548
+    assert all(0.0 <= v["confidence"] <= 1.0 for v in payload.values())
+
+
+def test_schemas_validate_command(spark, tmp_path, capsys):
+    schema = tmp_path / "s.json"
+    schema.write_text(json.dumps({
+        "type": "object", "properties": {"cpf": {"type": "string"}}}))
+    payload = run_cli(capsys, "schemas", "--validate", str(schema))
+    assert payload["valid"] is True
+
+
+def test_synth_command(spark, tmp_path, capsys):
+    payload = run_cli(capsys, "synth", "--turns", "500",
+                      "--output", str(tmp_path / "t.parquet"))
+    assert payload["turns"] >= 500 or payload.get("rows", 0) >= 500 \
+        or spark.read.parquet(str(tmp_path / "t.parquet")).count() >= 500
+
+
+def test_evaluate_command_self_comparison(spark, tiny_transcripts_path,
+                                          tmp_path, capsys):
+    run_cli(capsys, "extract", "--input", tiny_transcripts_path,
+            "--output", str(tmp_path / "pred"))
+    payload = run_cli(capsys, "evaluate", "--predictions",
+                      str(tmp_path / "pred"), "--golden", str(tmp_path / "pred"))
+    assert payload["overall"]["accuracy"] == pytest.approx(1.0)
