@@ -123,7 +123,12 @@ def run_extraction(
     if persist:
         from pyspark import StorageLevel
 
-        extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
+        # DISK_ONLY, deliberately: MEMORY_AND_DISK builds in-heap columnar
+        # cache batches first and OOMed the 8g JVM at 20M rows (the kernel
+        # output carries the extracted text) — serialized disk blocks keep
+        # the heap bounded like a shuffle spill, at any scale, and the
+        # single re-read for the ordered write is sequential I/O.
+        extracted = extracted.persist(StorageLevel.DISK_ONLY)
 
     # Lineage is an aggregation over the extraction output itself — computed
     # in the same plan (no second scan); counts are exact, wall-clock sums the

@@ -43,7 +43,14 @@ def build_session(
         .config("spark.sql.parquet.compression.codec", "snappy")
         # --- deterministic timestamp behavior across engines ---
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Heap scales with task concurrency: every local[N] task slot can hold
+        # an open parquet writer (~128 MiB row-group buffer) plus Arrow/shuffle
+        # buffers, so ~0.75 GiB/core; 8 GiB floor. local[32] at a fixed 8 GiB
+        # OOMed the ordered write at 20M rows — this is the local-mode
+        # rendering of sizing executor memory to --executor-cores.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                               f"{max(8, (cpus * 3) // 4)}g"))
         .config("spark.ui.enabled", "false")
     )
     for key, value in (extra_conf or {}).items():
