@@ -41,11 +41,21 @@ def read_transcript_stream(spark: SparkSession, input_path: str,
     return reader.parquet(input_path).select(*TRANSCRIPT_COLUMNS)
 
 
-def extract_stream(transcripts: DataFrame) -> DataFrame:
-    """The same shared kernel, applied per micro-batch. No shuffle needed:
-    extraction is a per-row map, so each file split maps straight through
-    (salting matters only for the batch job's giant-partition case; a
-    micro-batch is already bounded by maxFilesPerTrigger)."""
+def extract_stream(transcripts: DataFrame,
+                   target_partitions: int | None = None) -> DataFrame:
+    """The same shared kernel, applied per micro-batch.
+
+    Micro-batch parallelism = input file splits per trigger: one
+    single-row-group file per trigger runs ONE task (measured 12k turns/s =
+    the single-core kernel rate). ``target_partitions`` inserts a
+    per-micro-batch repartition to spread a small number of wide files
+    across the cluster — pay one shuffle of the micro-batch for N-way kernel
+    parallelism (measured 4.1× at 16 on 250k-turn single-file batches:
+    12.2k → 49.6k turns/s). Leave
+    None when triggers already contain many splits (the usual landing-zone
+    shape at scale)."""
+    if target_partitions:
+        transcripts = transcripts.repartition(target_partitions)
     return transcripts.mapInPandas(extract_batches, schema=OUTPUT_SCHEMA_DDL)
 
 
@@ -56,6 +66,7 @@ def stream_extract(
     checkpoint_path: str,
     available_now: bool = False,
     max_files_per_trigger: int | None = None,
+    target_partitions: int | None = None,
 ):
     """Incremental extraction: file-source stream → kernel → parquet append.
 
@@ -63,7 +74,8 @@ def stream_extract(
     offsets + sink commit log) — restartable mid-stream.
     """
     results = extract_stream(
-        read_transcript_stream(spark, input_path, max_files_per_trigger))
+        read_transcript_stream(spark, input_path, max_files_per_trigger),
+        target_partitions=target_partitions)
     writer = (results.writeStream.format("parquet")
               .option("path", output_path)
               .option("checkpointLocation", checkpoint_path)
