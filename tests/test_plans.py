@@ -110,3 +110,18 @@ def test_minhash_signatures_use_codegen_partial_agg(spark):
     # the 32 seed hashes sit in a single projection below the aggregate:
     # no array_min anywhere in the signature plan (that's the interpreted path)
     assert "array_min" not in plan
+
+
+def test_heap_scales_with_task_concurrency(spark):
+    """build_session sizes the JVM heap to task slots (~0.75 GiB/core, 8 GiB
+    floor) — the 20M-turn ordered write OOMs a fixed 8g heap at local[32]
+    (32 concurrent parquet writers × ~128 MiB row-group buffers)."""
+    import os
+
+    from br_doc_ocr_spark.session import build_session as bs
+
+    # the active 4-cpu test session sits at the floor
+    if "SPARK_GRAFT_DRIVER_MEM" not in os.environ:
+        assert spark.conf.get("spark.driver.memory") == "8g"
+    # and the formula scales: 32 cores → 24g
+    assert max(8, (32 * 3) // 4) == 24
