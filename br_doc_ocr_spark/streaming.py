@@ -115,6 +115,52 @@ def stream_status_counts(
     return writer.start()
 
 
+def stream_extract_with_lineage(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    lineage_path: str,
+    checkpoint_path: str,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+    target_partitions: int | None = None,
+):
+    """Incremental extraction with per-micro-batch lineage rows — the
+    streaming rendering of the batch job's per-partition lineage table.
+
+    ``foreachBatch`` writes each micro-batch's results (append) and its
+    status tallies stamped with the batch id (the snapshot-id analog) in one
+    pass over a batch-local persist. Restart safety: foreachBatch may replay
+    the LAST uncommitted batch after a crash, so lineage consumers dedup on
+    ``batch_seq`` (max per id wins) — Spark's documented at-least-once
+    foreachBatch contract; the parquet results sink stays exactly-once via
+    the commit log. Lineage is PII-free by schema (counts only)."""
+    results = extract_stream(
+        read_transcript_stream(spark, input_path, max_files_per_trigger),
+        target_partitions=target_partitions)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark import StorageLevel
+
+        batch_df.persist(StorageLevel.DISK_ONLY)
+        try:
+            batch_df.write.mode("append").parquet(output_path)
+            (batch_df.groupBy("status")
+             .agg(sf.count("*").alias("row_count"),
+                  sf.sum("n_fields").alias("field_count"))
+             .withColumn("batch_seq", sf.lit(batch_id))
+             .coalesce(1)
+             .write.mode("append").parquet(lineage_path))
+        finally:
+            batch_df.unpersist()
+
+    writer = (results.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: cross-turn document assembly.
 #

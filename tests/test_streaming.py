@@ -119,3 +119,31 @@ def test_stateful_assembly_accumulates_across_restarts(spark, stream_dirs):
     assert merged["cpf"] == "123.456.789-00"
     assert merged["data"] == "1990-05-15"
     assert merged["valor"] == "10.5"
+
+
+def test_stream_lineage_per_micro_batch(spark, stream_dirs, tmp_path):
+    """stream_extract_with_lineage appends per-batch status tallies that
+    reconcile with the written results; lineage carries only counts."""
+    full = make_transcripts_pandas(n_convs=8, mean_turns=5, seed=11,
+                                   skew_conv=False)
+    half = len(full) // 2
+    _write_batch(full.iloc[:half], os.path.join(stream_dirs["in"], "a.parquet"))
+    _write_batch(full.iloc[half:], os.path.join(stream_dirs["in"], "b.parquet"))
+    lineage_path = str(tmp_path / "lineage")
+
+    q = streaming.stream_extract_with_lineage(
+        spark, stream_dirs["in"], stream_dirs["out"], lineage_path,
+        stream_dirs["ckpt"], available_now=True, max_files_per_trigger=1)
+    q.awaitTermination()
+
+    out = spark.read.parquet(stream_dirs["out"]).toPandas()
+    lin = spark.read.parquet(lineage_path).toPandas()
+    assert len(out) == len(full)
+    assert lin["batch_seq"].nunique() == 2  # one lineage group per micro-batch
+    assert lin["row_count"].sum() == len(full)
+    by_status = lin.groupby("status")["row_count"].sum()
+    for status, n in out["status"].value_counts().items():
+        assert by_status[status] == n
+    # PII-free by schema
+    assert set(lin.columns) == {"status", "row_count", "field_count",
+                                "batch_seq"}
