@@ -93,3 +93,16 @@ def test_key_columns_never_null(results):
     assert results["turn_idx"].notna().all()
     assert results["status"].notna().all()
     assert results["extracted_text"].notna().all()  # empty string, never null
+
+
+def test_lazy_package_api_exports():
+    """The package mirrors the reference's lazy top-level API
+    (__init__.py:57-84): every __all__ symbol resolves lazily, unknown names
+    raise AttributeError, and the queries submodule stays reachable."""
+    import br_doc_ocr_spark as b
+
+    for name in b.__all__:
+        assert getattr(b, name) is not None, name
+    assert callable(b.run_pipeline) and callable(b.evaluate)
+    with pytest.raises(AttributeError):
+        b.not_a_symbol
