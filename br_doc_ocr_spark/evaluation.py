@@ -131,3 +131,41 @@ def evaluate(pred: DataFrame, golden: DataFrame) -> dict[str, DataFrame]:
         "per_kind": accuracy_per_kind(metrics),
         "per_field": field_accuracy(paired),
     }
+
+
+def generate_evaluation_report(report: dict[str, DataFrame],
+                               output_path: str | None = None) -> str:
+    """Human-readable text report — byte-layout parity with the reference's
+    ``generate_evaluation_report`` (evaluation.py:239-295): header rule,
+    overall block, per-type lines as ``accuracy (correct/total)``, per-field
+    lines sorted by accuracy desc, closing rule. Collects only the
+    aggregated frames (a few rows), never row-level data."""
+    overall = report["overall"].collect()[0].asDict()
+    per_kind = report["per_kind"].collect()
+    per_field = report["per_field"].collect()
+
+    lines = [
+        "=" * 60,
+        "br-doc-ocr-spark - Extraction Evaluation Report",
+        "=" * 60,
+        "",
+        f"Overall Accuracy: {overall['accuracy']:.2%}",
+        f"Total Samples: {overall['n_samples']}",
+        f"Correct Samples: {sum(r['correct'] for r in per_kind)}",
+        "",
+        "Accuracy by Payload Kind:",
+        "-" * 40,
+    ]
+    for r in per_kind:
+        lines.append(f"  {r['payload_kind']}: {r['accuracy']:.2%} "
+                     f"({r['correct']}/{r['total']})")
+    lines.extend(["", "Accuracy by Field:", "-" * 40])
+    for r in per_field:  # field_accuracy is already sorted desc
+        lines.append(f"  {r['field']}: {r['accuracy']:.2%}")
+    lines.extend(["", "=" * 60])
+
+    text = "\n".join(lines)
+    if output_path:
+        with open(output_path, "w", encoding="utf-8") as f:
+            f.write(text)
+    return text

@@ -108,3 +108,23 @@ def test_schema_guided_extraction_filters_fields(spark, tiny_transcripts_path):
     fields = (results.select(sf.explode(sf.map_keys("fields")).alias("f"))
               .distinct().collect())
     assert {r["f"] for r in fields} <= {"cpf", "data_nascimento", "data"}
+
+
+def test_text_report_layout(spark, tiny_transcripts_path, tmp_path):
+    """generate_evaluation_report mirrors the reference's report layout
+    (evaluation.py:239-295): rules, overall block, per-kind (correct/total)
+    lines, per-field lines sorted desc."""
+    from br_doc_ocr_spark import pipeline
+    from br_doc_ocr_spark.evaluation import evaluate, generate_evaluation_report
+
+    results, _ = pipeline.run_extraction(
+        pipeline.read_transcripts(spark, tiny_transcripts_path))
+    report = evaluate(results, results)
+    path = str(tmp_path / "report.txt")
+    text = generate_evaluation_report(report, output_path=path)
+
+    assert text.startswith("=" * 60)
+    assert "Overall Accuracy: 100.00%" in text
+    assert "Accuracy by Payload Kind:" in text and "Accuracy by Field:" in text
+    assert "(" in text and "/" in text  # correct/total lines
+    assert open(path, encoding="utf-8").read() == text
