@@ -15,6 +15,14 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def driver_memory_for(cpus: int) -> str:
+    """Heap sized to task concurrency: ~0.75 GiB per local task slot
+    (each can hold an open parquet writer's ~128 MiB row-group buffer plus
+    Arrow/shuffle buffers), 8 GiB floor; SPARK_GRAFT_DRIVER_MEM overrides."""
+    return os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                          f"{max(8, (cpus * 3) // 4)}g")
+
+
 def build_session(
     app_name: str = "br-doc-ocr-spark",
     cpus: int | None = None,
@@ -43,14 +51,10 @@ def build_session(
         .config("spark.sql.parquet.compression.codec", "snappy")
         # --- deterministic timestamp behavior across engines ---
         .config("spark.sql.session.timeZone", "UTC")
-        # Heap scales with task concurrency: every local[N] task slot can hold
-        # an open parquet writer (~128 MiB row-group buffer) plus Arrow/shuffle
-        # buffers, so ~0.75 GiB/core; 8 GiB floor. local[32] at a fixed 8 GiB
-        # OOMed the ordered write at 20M rows — this is the local-mode
-        # rendering of sizing executor memory to --executor-cores.
-        .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM",
-                               f"{max(8, (cpus * 3) // 4)}g"))
+        # local[32] at a fixed 8 GiB OOMed the ordered write at 20M rows —
+        # this is the local-mode rendering of sizing executor memory to
+        # --executor-cores (see driver_memory_for).
+        .config("spark.driver.memory", driver_memory_for(cpus))
         .config("spark.ui.enabled", "false")
     )
     for key, value in (extra_conf or {}).items():

@@ -76,10 +76,27 @@ def test_manifest_refuses_mixed_partition_spec(spark, tiny_transcripts_path,
                                  paths["manifest"], n_buckets=8)
 
 
-def test_conversation_never_splits_across_buckets(spark, tiny_transcripts_path,
-                                                  paths):
-    checkpoint.run_resumable(spark, tiny_transcripts_path, paths["out"],
-                             paths["manifest"], n_buckets=6)
-    df = spark.read.parquet(paths["out"]).select("conv_id", "bucket").toPandas()
-    per_conv = df.groupby("conv_id")["bucket"].nunique()
-    assert (per_conv == 1).all()
+def test_conversation_never_splits_across_snapshots(spark, tiny_transcripts,
+                                                    tiny_transcripts_path,
+                                                    paths):
+    """The real done/pending-boundary invariant: after ANY snapshot commit,
+    every conversation present in the output is COMPLETE (all its input
+    turns, no partials) — a conv processed half-in-snapshot-1,
+    half-in-snapshot-2 would show a partial count here. (Checking
+    bucket-nunique per conv would be tautological: the written bucket column
+    is recomputed from conv_id.)"""
+    input_counts = tiny_transcripts.groupby("conv_id").size()
+    seen_convs: set[str] = set()
+    for _ in range(3):  # 3 snapshots of 2 buckets each (n_buckets=6)
+        checkpoint.run_resumable(spark, tiny_transcripts_path, paths["out"],
+                                 paths["manifest"], n_buckets=6,
+                                 max_buckets_per_snapshot=2)
+        out = (spark.read.parquet(paths["out"])
+               .groupBy("conv_id").count().toPandas()
+               .set_index("conv_id")["count"])
+        for conv, n in out.items():
+            assert n == input_counts[conv], f"partial conversation {conv}"
+        # convs only ever ACCUMULATE — a later snapshot never rewrites one
+        assert seen_convs <= set(out.index)
+        seen_convs = set(out.index)
+    assert seen_convs == set(input_counts.index)  # all convs exactly once

@@ -83,8 +83,12 @@ def test_schemas_validate_command(spark, tmp_path, capsys):
 def test_synth_command(spark, tmp_path, capsys):
     payload = run_cli(capsys, "synth", "--turns", "500",
                       "--output", str(tmp_path / "t.parquet"))
-    assert payload["turns"] >= 500 or payload.get("rows", 0) >= 500 \
-        or spark.read.parquet(str(tmp_path / "t.parquet")).count() >= 500
+    assert payload["output"].endswith("t.parquet")
+    # assert the WRITTEN table, not the CLI's echoed argument
+    written = spark.read.parquet(str(tmp_path / "t.parquet"))
+    assert written.count() == 500
+    assert set(written.columns) == {"conv_id", "turn_idx", "role", "text",
+                                    "tool", "ts"}
 
 
 def test_evaluate_command_self_comparison(spark, tiny_transcripts_path,

@@ -20,10 +20,13 @@ ALLOWED_KINDS = {"html", "pdf", "prose", "unknown"}
 ALLOWED_STATUSES = {"success", "partial", "failed", "error"}
 
 
+# single source of truth for the corpus both fixtures/tests regenerate
+CORPUS_PARAMS = dict(n_convs=15, mean_turns=6, seed=7, skew_conv=False)
+
+
 @pytest.fixture(scope="module")
 def results() -> pd.DataFrame:
-    return oracle_extract(make_transcripts_pandas(n_convs=15, mean_turns=6,
-                                                  seed=7, skew_conv=False))
+    return oracle_extract(make_transcripts_pandas(**CORPUS_PARAMS))
 
 
 def test_result_has_required_columns(results):
@@ -79,8 +82,8 @@ def test_status_derivation_consistent(results):
 
 def test_spans_index_into_raw_payload(results):
     # span offsets are char offsets into the ORIGINAL text column
-    src = make_transcripts_pandas(n_convs=15, mean_turns=6, seed=7,
-                                  skew_conv=False)
+    # (same CORPUS_PARAMS as the results fixture — single source of truth)
+    src = make_transcripts_pandas(**CORPUS_PARAMS)
     src = src.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     for text, spans in zip(src["text"], results["spans"]):
         for s in spans:

@@ -71,11 +71,13 @@ def test_json_sinks_split_and_deterministic(spark, tiny_transcripts_path,
     # deterministic field order: conv_id first, status last
     keys = list(sample.keys())
     assert keys[0] == "conv_id" and keys[-1] == "status"
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     try:
-        errors = spark.read.json(f"{out}/errors")
-        assert errors.count() == 0
-    except Exception:
-        pass  # empty error sink may have no schema — acceptable
+        n_errors = spark.read.json(f"{out}/errors").count()
+    except AnalysisException:
+        n_errors = 0  # empty error sink may have no inferable schema
+    assert n_errors == 0  # outside the try — a full error channel must fail
 
 
 def test_classification_alternatives(spark, tiny_transcripts_path):

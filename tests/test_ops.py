@@ -50,6 +50,10 @@ def test_minhash_lsh_finds_what_exact_jaccard_finds(docs):
     lsh = {(r["id_a"], r["id_b"])
            for r in dedup.minhash_near_duplicates(docs, threshold=0.5).collect()}
     assert (0, 3) in lsh             # identical docs always collide
+    # near-dup recall: the (0,1)/(1,3) one-word-changed pairs (jaccard ≈0.83)
+    # are deterministically found with the fixed xxhash64 seeds — an LSH
+    # regression that only collides byte-identical docs must fail here
+    assert {(0, 1), (1, 3)} <= lsh
     assert lsh <= exact              # verify step guarantees no false positives
 
 
@@ -173,7 +177,9 @@ def test_ivf_multiprobe_recall_beats_single_probe(spark):
     """Multi-probe IVF (Hamming-1 neighbor cells) must recover most of the
     brute-force top-k that single-probe misses on the sandbox embeddings
     (measured: 0.1-0.3 single -> 0.6-0.9 multi)."""
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = [float(x) for x in emb.filter("vec_id = 0").select("embedding").first()[0]]
     exact = {r["vec_id"] for r in similarity.cosine_topk(emb, q, 10).collect()}
     single = {r["vec_id"] for r in

@@ -52,21 +52,39 @@ def test_stream_matches_oracle_and_resumes(spark, stream_dirs):
 
 
 def test_stream_windowed_status_counts(spark, stream_dirs):
+    # Two landing files processed as two micro-batches: the fixture spans
+    # ~23 min of event time, so with a 1-minute window and a 2-minute
+    # watermark the second batch's watermark advance CLOSES the first
+    # batch's windows — append mode then actually emits rows (with the
+    # default 1h/2h the sink stayed empty and the test was vacuous).
     df = make_transcripts_pandas(n_convs=8, mean_turns=5, seed=3,
-                                 skew_conv=False)
-    _write_batch(df, f"{stream_dirs['in']}/all.parquet")
-    q = streaming.stream_status_counts(spark, stream_dirs["in"],
-                                       stream_dirs["agg"],
-                                       stream_dirs["agg_ckpt"],
-                                       available_now=True)
+                                 skew_conv=False).sort_values("ts")
+    half = len(df) // 2
+    _write_batch(df.iloc[:half], f"{stream_dirs['in']}/a.parquet")
+    _write_batch(df.iloc[half:], f"{stream_dirs['in']}/b.parquet")
+    counts = streaming.status_counts(
+        streaming.extract_stream(
+            streaming.read_transcript_stream(spark, stream_dirs["in"],
+                                             max_files_per_trigger=1)),
+        window="1 minute", watermark="2 minutes")
+    q = (counts.writeStream.format("parquet")
+         .option("path", stream_dirs["agg"])
+         .option("checkpointLocation", stream_dirs["agg_ckpt"])
+         .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(120)
     agg = spark.read.parquet(stream_dirs["agg"]).toPandas()
-    # append mode emits only watermark-closed windows; with availableNow over
-    # a finite source the final watermark closes all but the last window(s)
     assert set(agg.columns) == {"window_start", "window_end", "status",
                                 "n_turns", "total_fields"}
-    if len(agg):
-        assert (agg["n_turns"] > 0).all()
+    assert len(agg) > 0  # closed windows were emitted
+    assert (agg["n_turns"] > 0).all()
+    # emitted (closed) windows must tally exactly with a batch recount of
+    # the same event-time range
+    emitted_end = agg["window_end"].max()
+    expected = (oracle_extract(df)
+                .loc[lambda d: d["ts"] < emitted_end]
+                .groupby("status").size())
+    got = agg.groupby("status")["n_turns"].sum()
+    assert got.to_dict() == expected.to_dict()
 
 
 def test_stateful_assembly_accumulates_across_restarts(spark, stream_dirs):
