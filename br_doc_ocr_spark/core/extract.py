@@ -38,9 +38,10 @@ INVALID_CONFIDENCE = 0.45  # < FR-013 threshold 0.5 → flagged low-confidence
 
 
 def _valid_date(normalized: str) -> bool:
-    return bool(re.match(r"^\d{4}-\d{2}-\d{2}$", normalized)) and (
-        F.normalize_date(normalized) == normalized
-    )
+    # direct calendar check — comparing normalize_date(x) == x is vacuous for
+    # ISO-invalid inputs because normalize_date returns invalid input
+    # UNCHANGED ('2020-02-31' would otherwise score valid)
+    return F.is_valid_iso_date(normalized)
 
 
 # Per-field (normalizer, validator); matching is done by ONE combined
@@ -70,7 +71,9 @@ _CANDIDATE = re.compile(
     r"|MG-\d{2}\.\d{3}\.\d{3}\b"
     r"|\d(?:[\d./-]*\d)?"
     r"|\b(?:SSP|DETRAN|PC|IFP|SDS|SESP|IGP)-[A-Z]{2}\b|\bIIRGD\b"
-    r"|[Cc]ategoria[:\s]+\b(?P<cat>ACC|AB|AC|AD|AE|BC|BD|BE|CD|CE|DE|[A-E])\b"
+    # the label is case-insensitive (OCR'd CNHs print 'CATEGORIA'); the
+    # category VALUE stays case-sensitive uppercase
+    r"|(?i:categoria)[:\s]+\b(?P<cat>ACC|AB|AC|AD|AE|BC|BD|BE|CD|CE|DE|[A-E])\b"
 )
 
 # Stage 2 — anchored classification of a candidate token. Every classifier
@@ -117,7 +120,7 @@ def _classify_token(token: str) -> str | None:
 # only cost the scan; false negatives would drop fields (a digit-free
 # "Categoria: AB" payload was silently skipped before this alternation).
 _ANY_FIELD_HINT = re.compile(
-    r"\d|[Cc]ategoria|SSP-|DETRAN-|PC-|IFP-|SDS-|SESP-|IGP-|IIRGD")
+    r"\d|(?i:categoria)|SSP-|DETRAN-|PC-|IFP-|SDS-|SESP-|IGP-|IIRGD")
 
 
 def scan_fields(
@@ -138,6 +141,7 @@ def scan_fields(
 
     spans_append = spans.append
     classify = _classify_token
+    claimed: list[tuple[str, int, int]] = []
     for m in _CANDIDATE.finditer(text):
         if m.lastgroup == "cat":
             name = "categoria_habilitacao"
@@ -146,7 +150,24 @@ def scan_fields(
             start, end = m.span()
             name = classify(m.group())
             if name is None:
+                # recovery for value runs merged through '-' by the maximal
+                # tokenizer (a date RANGE '01/02/2020-05/02/2020' is one
+                # 21-char token): re-classify the '-'-separated parts with
+                # adjusted offsets. Only reached when the WHOLE token failed,
+                # so formatted CPF/RG/CNPJ (which classify intact) never
+                # split here.
+                token = m.group()
+                if "-" in token:
+                    offset = 0
+                    for part in token.split("-"):
+                        sub = classify(part) if part else None
+                        if sub is not None:
+                            claimed.append((sub, start + offset,
+                                            start + offset + len(part)))
+                        offset += len(part) + 1
                 continue
+        claimed.append((name, start, end))
+    for name, start, end in claimed:
         spans_append({"field": name, "start": start, "end": end})
         if name not in fields:
             normalize, is_valid = _FIELD_FNS[name]
@@ -289,7 +310,7 @@ def extract_batches(batches: Iterable[pd.DataFrame],
 # separators and runs the full per-document pipeline on each segment.
 # ---------------------------------------------------------------------------
 
-_DOC_SEPARATOR = re.compile(r"\n-{3,}\n|\x0c")
+_DOC_SEPARATOR = re.compile(r"\r?\n-{3,}\r?\n|\x0c")  # CRLF transcripts too
 MIN_SEGMENT_CHARS = 8  # min-size predicate analog (preprocessing.py:281-290)
 
 MULTIDOC_SCHEMA_DDL = (

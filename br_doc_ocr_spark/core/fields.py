@@ -180,11 +180,22 @@ def is_valid_cpf_format(cpf: str | None) -> bool:
     return bool(cpf) and bool(_CPF_CANON.match(cpf))
 
 
+def is_valid_iso_date(value: str | None) -> bool:
+    """ISO shape AND calendar validity (``2020-02-31`` is *not* a date —
+    normalize_date's return-original-on-invalid contract means an equality
+    check against it cannot catch ISO-invalid inputs)."""
+    if not value or not _ISO_DATE.match(value):
+        return False
+    return _calendar_valid(int(value[0:4]), int(value[5:7]), int(value[8:10]))
+
+
 def validate_cnh_fields(data: dict[str, Any]) -> list[str]:
     """CNH field checks → error list. Parity: ``extraction.py:239-268``."""
     errors: list[str] = []
     cpf = data.get("cpf")
-    if cpf and not _CPF_CANON.match(cpf):
+    # str(): parsed JSON may carry cpf as a bare number — an invalid-format
+    # entry, never a TypeError (the date checks below use the same guard)
+    if cpf and not _CPF_CANON.match(str(cpf)):
         errors.append(f"Invalid CPF format: {cpf}")
     cat = data.get("categoria_habilitacao")
     if cat and cat not in CNH_CATEGORIES:
@@ -259,7 +270,7 @@ def validate_rg_fields(data: dict[str, Any]) -> list[str]:
         if not res.get("valid"):
             errors.append(res.get("error", "Invalid RG number"))
     cpf = data.get("cpf")
-    if cpf and not _CPF_CANON.match(cpf):
+    if cpf and not _CPF_CANON.match(str(cpf)):
         errors.append(f"Invalid CPF format: {cpf}")
     for f in ("data_nascimento", "data_expedicao"):
         v = data.get(f)
@@ -391,6 +402,31 @@ def parse_payload_json(text: str | None) -> dict[str, Any]:
     bare = _BARE_JSON.search(s)
     if bare:
         candidates.append(bare.group(0))
+    # brace-BALANCED scan from the first '{': the greedy fallback spans to
+    # the LAST '}' and breaks on trailing text that itself contains braces
+    # ('{"a": 1} code: if (x) { y(); }'); the balanced prefix recovers the
+    # leading object. Quote/escape-aware so braces inside strings don't count.
+    start = s.find("{")
+    if start != -1:
+        depth = 0
+        in_str = False
+        escaped = False
+        for i in range(start, len(s)):
+            ch = s[i]
+            if escaped:
+                escaped = False
+            elif ch == "\\":
+                escaped = True
+            elif ch == '"':
+                in_str = not in_str
+            elif not in_str:
+                if ch == "{":
+                    depth += 1
+                elif ch == "}":
+                    depth -= 1
+                    if depth == 0:
+                        candidates.append(s[start:i + 1])
+                        break
     for cand in candidates:
         try:
             obj = json.loads(cand)

@@ -98,6 +98,10 @@ _TOKEN = re.compile(
 _ATTR_HINT = re.compile(
     r"""(?:\b(?:id|class|role)\s*=\s*)("([^"]*)"|'([^']*)'|([^\s>]+))""")
 _RAW_TEXT_TAGS = frozenset({"script", "style", "noscript", "template"})
+# case-insensitive close-tag finders for the raw-text skip (start tags match
+# any case, so '</SCRIPT>' must too — a case-sensitive find() truncated the
+# whole rest of the document on uppercase legacy HTML)
+_RAW_CLOSE = {t: re.compile(f"</{t}", re.IGNORECASE) for t in _RAW_TEXT_TAGS}
 
 
 class _BlockCollector:
@@ -175,11 +179,25 @@ class _BlockCollector:
             for i in range(len(stack) - 1, -1, -1):
                 t, boiler = stack[i]
                 if t == tag:
-                    if tag in _BLOCK_TAGS or boiler:
+                    # implicit-close unwind (HTML5 behavior): everything
+                    # ABOVE the matched element closes with it. Popping only
+                    # the matched entry left an unclosed boilerplate child's
+                    # _boiler_depth elevated forever — '<div><nav>x</div>'
+                    # then marked the whole remaining document boilerplate.
+                    popped = stack[i:]
+                    if (tag in _BLOCK_TAGS
+                            or any(b for _, b in popped)
+                            or any(t2 in _BLOCK_TAGS for t2, _ in popped)):
                         self._flush()
-                    del stack[i]
-                    if boiler:
-                        self._boiler_depth -= 1
+                    del stack[i:]
+                    for j, (t2, b) in enumerate(popped):
+                        if b:
+                            self._boiler_depth -= 1
+                        # implicitly-closed anchors release link depth too;
+                        # j == 0 is the matched element itself, which the
+                        # tag == "a" case below already handles
+                        if t2 == "a" and j > 0 and self._link_depth > 0:
+                            self._link_depth -= 1
                     break
         if tag == "a" and self._link_depth > 0:
             self._link_depth -= 1
@@ -214,11 +232,11 @@ class _BlockCollector:
             if start_tag:
                 tag = start_tag.lower()
                 if tag in _RAW_TEXT_TAGS and not m.group(4):
-                    close = find(f"</{tag}", pos)
+                    cm = _RAW_CLOSE[tag].search(doc, pos)
                     # raw content skipped entirely (never text)
-                    if close == -1:
+                    if cm is None:
                         break
-                    gt = find(">", close)
+                    gt = find(">", cm.start())
                     pos = n if gt == -1 else gt + 1
                     continue
                 self._start(tag, m.group(3))

@@ -138,3 +138,41 @@ def test_scan_fields_digit_free_payloads():
 
     # truly field-free payloads still fast-path to empty
     assert scan_fields("plain prose with no fields at all") == ({}, [], {})
+
+
+def test_calendar_invalid_iso_date_scores_low_confidence():
+    """'2020-02-31' must score 0.45 — comparing normalize_date(x) == x was
+    vacuous because invalid input is returned unchanged."""
+    from br_doc_ocr_spark.core.extract import scan_fields
+
+    _, _, sc = scan_fields("data: 2020-02-31")
+    assert sc["data"] == 0.45
+    _, _, sc = scan_fields("data: 2020-02-28")
+    assert sc["data"] == 0.95
+
+
+def test_uppercase_categoria_label_extracts():
+    from br_doc_ocr_spark.core.extract import scan_fields
+
+    assert scan_fields("CATEGORIA: AB")[0] == {"categoria_habilitacao": "AB"}
+
+
+def test_crlf_document_separator_splits():
+    from br_doc_ocr_spark.core.extract import segment_payload
+
+    assert len(segment_payload("doc um valido\r\n---\r\ndoc dois valido")) == 2
+
+
+def test_merged_hyphen_run_recovers_parts():
+    """A date range tokenizes as one unclassifiable maximal run; the parts
+    must be recovered with correct span offsets. Formatted values that
+    classify intact must never split."""
+    from br_doc_ocr_spark.core.extract import scan_fields
+
+    t = "periodo 01/02/2020-05/02/2020"
+    f, s, _ = scan_fields(t)
+    assert f["data"] == "2020-02-01"
+    assert [t[x["start"]:x["end"]] for x in s] == ["01/02/2020", "05/02/2020"]
+    f, _, _ = scan_fields("CPF 123.456.789-01 RG 12.345.678-9")
+    assert f["cpf"] == "123.456.789-01"
+    assert f["registro_geral"] == "12.345.678-9"

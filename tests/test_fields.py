@@ -233,3 +233,28 @@ def test_derive_status():
     assert F.derive_status({}, []) == "failed"
     assert F.derive_status({"cpf": "x"}, []) == "success"
     assert F.derive_status({"cpf": "x"}, ["cpf"]) == "partial"
+
+
+def test_parse_payload_json_brace_bearing_trailing_text():
+    """Balanced-brace recovery: trailing text containing braces must not
+    break extraction of the leading valid object (the greedy fallback
+    spanned first-'{' to last-'}')."""
+    from br_doc_ocr_spark.core import fields as F
+
+    assert F.parse_payload_json(
+        '{"nome": "MARIA"} segue codigo: if (x) { y(); }') == {"nome": "MARIA"}
+    assert F.parse_payload_json(
+        '{"a": "br{ace} in string"} tail }') == {"a": "br{ace} in string"}
+    import pytest as _pytest
+    with _pytest.raises(F.JSONParseError):
+        F.parse_payload_json("garbage")
+
+
+def test_validators_accept_non_string_cpf():
+    from br_doc_ocr_spark.core import fields as F
+
+    errs = F.validate_cnh_fields({"cpf": 12345678901})
+    assert any("Invalid CPF" in e for e in errs)
+    errs = F.validate_rg_fields({"registro_geral": "12.345.678-9",
+                                 "cpf": 12345678901})
+    assert any("Invalid CPF" in e for e in errs)

@@ -95,3 +95,27 @@ def test_extract_main_content_dispatch():
     kind, _ = T.extract_main_content(HTML_DOC)
     assert kind == "html"
     assert T.extract_main_content(None) == ("prose", "")
+
+
+def test_uppercase_rawtext_close_tag_does_not_truncate():
+    from br_doc_ocr_spark.core.textops import strip_html
+
+    out = strip_html("<div>Valid content before here.</div>"
+                     "<SCRIPT>var x=1;</SCRIPT>"
+                     "<p>Important body text after the script.</p>")
+    assert "Important body text" in out
+    assert "var x=1" not in out
+
+
+def test_unclosed_boilerplate_is_implicitly_closed_by_outer_end_tag():
+    """HTML5 implicit close: '</div>' closes an unclosed <nav> child; the
+    old single-entry unwind left _boiler_depth elevated and discarded the
+    whole remaining document."""
+    from br_doc_ocr_spark.core.textops import strip_html
+
+    out = strip_html("<div><nav>menu</div>"
+                     "<p>The real article body text continues here.</p>"
+                     "<p>Second paragraph of real content text.</p>")
+    assert "real article body" in out
+    assert "Second paragraph" in out
+    assert "menu" not in out
