@@ -135,18 +135,23 @@ def run_resumable(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
 
     n_rows = 0
-    if lineage_path:
-        lineage_rows = lineage.select(
-            sf.lit(run_id).alias("run_id"),
-            sf.lit(snapshot_id).alias("snapshot_id"),
-            "partition_id", "row_count", "success_count", "partial_count",
-            "failed_count", "error_count", "wall_clock_ms",
-        )
-        lineage_pd = lineage_rows.toPandas()
-        n_rows = int(lineage_pd["row_count"].sum())
-        spark.createDataFrame(lineage_pd).coalesce(1).write.mode("append") \
-            .parquet(lineage_path)
-    unpersist_extraction(results)
+    try:
+        if lineage_path:
+            lineage_rows = lineage.select(
+                sf.lit(run_id).alias("run_id"),
+                sf.lit(snapshot_id).alias("snapshot_id"),
+                "partition_id", "row_count", "success_count", "partial_count",
+                "failed_count", "error_count", "wall_clock_ms",
+            )
+            # write the DataFrame directly — a toPandas/createDataFrame
+            # round-trip raises CANNOT_INFER_EMPTY_SCHEMA when the pending
+            # buckets hold zero rows, wedging the resume loop forever (the
+            # crash landed before record_snapshot AND leaked the persist)
+            lineage_rows.coalesce(1).write.mode("append").parquet(lineage_path)
+            total = lineage.agg(sf.sum("row_count")).first()[0]
+            n_rows = int(total) if total is not None else 0
+    finally:
+        unpersist_extraction(results)
 
     # The manifest commits LAST — a crash before this line leaves the buckets
     # unrecorded and they are simply re-overwritten on resume (idempotent).

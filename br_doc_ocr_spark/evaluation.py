@@ -123,13 +123,22 @@ def field_accuracy(paired: DataFrame) -> DataFrame:
 
 def evaluate(pred: DataFrame, golden: DataFrame) -> dict[str, DataFrame]:
     """Full evaluation report — the Spark rendering of ``cli evaluate``
-    (cli/evaluate.py:19-184): overall, per-kind, per-field."""
+    (cli/evaluate.py:19-184): overall, per-kind, per-field, plus a coverage
+    frame. The pairing join is INNER (matching the reference, whose samples
+    always carry both sides), so ``coverage`` surfaces what the join would
+    otherwise hide: golden rows with NO prediction — an engine that lost 90%
+    of its output must not score 100% unnoticed."""
     paired = pair_predictions(pred, golden)
     metrics = with_field_metrics(paired)
+    unmatched = golden.join(pred, on=JOIN_KEYS, how="left_anti")
+    coverage = unmatched.agg(
+        sf.count("*").alias("unmatched_golden")).crossJoin(
+        golden.agg(sf.count("*").alias("golden_total")))
     return {
         "overall": overall_accuracy(metrics),
         "per_kind": accuracy_per_kind(metrics),
         "per_field": field_accuracy(paired),
+        "coverage": coverage,
     }
 
 
@@ -143,15 +152,26 @@ def generate_evaluation_report(report: dict[str, DataFrame],
     overall = report["overall"].collect()[0].asDict()
     per_kind = report["per_kind"].collect()
     per_field = report["per_field"].collect()
+    coverage = (report["coverage"].collect()[0].asDict()
+                if "coverage" in report else None)
 
+    # empty pairing → avg() aggregates are null; report zeros instead of
+    # crashing on None.__format__ at the exact diagnostic moment that needs
+    # a readable report
+    accuracy = overall["accuracy"] if overall["accuracy"] is not None else 0.0
     lines = [
         "=" * 60,
         "br-doc-ocr-spark - Extraction Evaluation Report",
         "=" * 60,
         "",
-        f"Overall Accuracy: {overall['accuracy']:.2%}",
+        f"Overall Accuracy: {accuracy:.2%}",
         f"Total Samples: {overall['n_samples']}",
-        f"Correct Samples: {sum(r['correct'] for r in per_kind)}",
+        f"Correct Samples: {sum(r['correct'] for r in per_kind)}",]
+    if coverage is not None and coverage["unmatched_golden"]:
+        lines.append(
+            f"WARNING - golden rows with no prediction: "
+            f"{coverage['unmatched_golden']}/{coverage['golden_total']}")
+    lines += [
         "",
         "Accuracy by Payload Kind:",
         "-" * 40,

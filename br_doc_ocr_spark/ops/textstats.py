@@ -35,23 +35,57 @@ def token_count(text: Column) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    """Share of non-alphanumeric, non-space characters."""
-    stripped = sf.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    """Share of true punctuation: strip Unicode letters/digits/whitespace
+    (``[\\p{L}\\p{N}\\s]``) — an ASCII-only class counted every accented
+    letter (ã, ç, é — ubiquitous in the Portuguese domain text) as
+    punctuation, systematically penalizing clean documents."""
+    stripped = sf.regexp_replace(text, r"[\p{L}\p{N}\s]", "")
     return sf.round(sf.length(stripped) / sf.greatest(sf.length(text), sf.lit(1)), 6)
 
 
+def _word_tokens(text: Column) -> Column:
+    """Lowercased word tokens: non-letter/digit runs collapse to a single
+    space, then split — punctuation-bounded and adjacent occurrences all
+    tokenize cleanly (a ``\\s<word>\\s`` split consumed the shared delimiter
+    and missed 'the the' and 'the.')."""
+    return sf.split(
+        sf.regexp_replace(sf.lower(text), r"[^\p{L}\p{N}]+", " "), " ")
+
+
+def _is_cjk(word: str) -> bool:
+    return any("一" <= ch <= "鿿" for ch in word)
+
+
 def stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
-    """Total occurrences of the given words (word-bounded) in lowercased text."""
+    """Total occurrences of the given stopwords in the text.
+
+    Latin-script words count by exact token equality over
+    :func:`_word_tokens`; CJK entries (no word boundaries in running text —
+    ``\\s的\\s`` can never match Chinese prose) count by substring
+    occurrence. Both are whole-stage-friendly column expressions with exact
+    DuckDB renderings (queries.py keeps the SQL in lockstep).
+    """
     lowered = sf.lower(text)
-    counts = [
-        sf.size(sf.split(sf.concat(sf.lit(" "), lowered, sf.lit(" ")),
-                         f"\\s{w}\\s")) - 1
-        for w in words
-    ]
+    tokens = _word_tokens(text)
+    counts = []
+    for w in words:
+        if _is_cjk(w):
+            counts.append(
+                (sf.length(lowered)
+                 - sf.length(sf.replace(lowered, sf.lit(w), sf.lit(""))))
+                / len(w))
+        else:
+            # closure factory, NOT a default-arg lambda: a two-parameter
+            # lambda in sf.filter is the (element, index) form and the word
+            # would be bound to the integer index column
+            def _equals(word):
+                return lambda x: x == word
+
+            counts.append(sf.size(sf.filter(tokens, _equals(w))))
     total = counts[0]
     for c in counts[1:]:
         total = total + c
-    return sf.greatest(total, sf.lit(0))
+    return sf.greatest(total.cast("int"), sf.lit(0))
 
 
 def quality_score(text: Column) -> Column:

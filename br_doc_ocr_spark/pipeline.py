@@ -250,12 +250,23 @@ def result_json_column(results: DataFrame) -> DataFrame:
 
 def write_json_sinks(results: DataFrame, output_dir: str) -> None:
     """JSONL results + quarantine channel, split by status (cli/batch.py:
-    169-174,184-207): good rows to ``results/``, error rows to ``errors/``."""
-    ordered = with_stable_order(results)
-    good = ordered.filter(sf.col("status") != "error")
-    bad = ordered.filter(sf.col("status") == "error")
-    result_json_column(good).write.mode("overwrite").json(f"{output_dir}/results")
-    result_json_column(bad).write.mode("overwrite").json(f"{output_dir}/errors")
+    169-174,184-207): good rows to ``results/``, error rows to ``errors/``.
+
+    The split is two actions over one upstream plan — persist the ordered
+    frame (DISK_ONLY, heap-bounded) so the kernel and the range shuffle run
+    once, not twice (the same dual-consumer rule run_pipeline documents)."""
+    from pyspark import StorageLevel
+
+    ordered = with_stable_order(results).persist(StorageLevel.DISK_ONLY)
+    try:
+        good = ordered.filter(sf.col("status") != "error")
+        bad = ordered.filter(sf.col("status") == "error")
+        result_json_column(good).write.mode("overwrite").json(
+            f"{output_dir}/results")
+        result_json_column(bad).write.mode("overwrite").json(
+            f"{output_dir}/errors")
+    finally:
+        ordered.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -269,8 +280,15 @@ CLASSIFY_CONFIDENCE = 0.97  # deterministic stand-in for the model score
 
 def with_classification(results: DataFrame) -> DataFrame:
     """Attach classification confidence + alternatives: residual probability
-    spread uniformly over the other kinds (classification.py:92-99, F24)."""
+    spread uniformly over the other kinds (classification.py:92-99, F24).
+
+    Error rows (``payload_kind='unknown'`` — not a member of PAYLOAD_KINDS)
+    get confidence 0.0 and NO alternatives: without the guard the ``k !=
+    payload_kind`` filter kept all three kinds and the row carried >1 total
+    probability mass, handing the failure channel a confident classification.
+    """
     residual = (1.0 - CLASSIFY_CONFIDENCE) / (len(PAYLOAD_KINDS) - 1)
+    known = sf.col("payload_kind").isin(*PAYLOAD_KINDS)
     others = sf.filter(
         sf.array(*[sf.lit(k) for k in PAYLOAD_KINDS]),
         lambda k: k != sf.col("payload_kind"))
@@ -278,9 +296,12 @@ def with_classification(results: DataFrame) -> DataFrame:
         others,
         lambda k: sf.struct(k.alias("kind"),
                             sf.round(sf.lit(residual), 6).alias("confidence")))
+    empty = sf.array().cast(
+        "array<struct<kind:string,confidence:double>>")
     return results.withColumns({
-        "classify_confidence": sf.lit(CLASSIFY_CONFIDENCE),
-        "classify_alternatives": alternatives,
+        "classify_confidence": sf.when(known, sf.lit(CLASSIFY_CONFIDENCE))
+                                 .otherwise(sf.lit(0.0)),
+        "classify_alternatives": sf.when(known, alternatives).otherwise(empty),
     })
 
 

@@ -39,6 +39,24 @@ def t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.sparkContext.defaultParallelism)
 
 
+_SQL_TOKENS = ("string_split(regexp_replace(lower(text), "
+               "'[^\\p{L}\\p{N}]+', ' ', 'g'), ' ')")
+
+
+def _sql_stopword_hits(words) -> str:
+    """DuckDB rendering of textstats.stopword_hits: token-equality counts for
+    Latin words over the collapsed-separator tokenization, substring counts
+    for CJK entries — kept in lockstep with the Spark implementation."""
+    terms = []
+    for w in words:
+        if textstats._is_cjk(w):
+            terms.append(f"((length(lower(text)) - "
+                         f"length(replace(lower(text), '{w}', ''))) / {len(w)})")
+        else:
+            terms.append(f"len(list_filter({_SQL_TOKENS}, x -> x = '{w}'))")
+    return f"greatest(({' + '.join(terms)})::INT, 0)"
+
+
 @dataclass
 class QueryDef:
     """One catalog entry: Spark implementation + optional DuckDB oracle SQL."""
@@ -752,26 +770,29 @@ def q_text_token_stats(spark, sf_dir):
                  sf.count("*").alias("n_docs")))
 
 
-@register(
-    "text_quality",
-    """
+def _quality_oracle_sql() -> str:
+    """DuckDB rendering of textstats.quality_score, sharing
+    ``_sql_stopword_hits`` (token-equality counts) and the Unicode
+    punctuation class with the Spark side."""
+    en_hits = _sql_stopword_hits(textstats.LANG_STOPWORDS["en"])
+    return f"""
     SELECT source, round(avg(q), 6) AS avg_quality, count(*) AS n FROM (
       SELECT source,
         round(least(len(string_split_regex(trim(text), '\\s+')) / 64.0, 1.0) * 0.4
-        + (1.0 - least(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
-                       / greatest(length(text), 1) * 5, 1.0)) * 0.3
-        + least((len(string_split_regex(' ' || lower(text) || ' ', '\\sthe\\s')) - 1
-               + len(string_split_regex(' ' || lower(text) || ' ', '\\sa\\s')) - 1
-               + len(string_split_regex(' ' || lower(text) || ' ', '\\sof\\s')) - 1
-               + len(string_split_regex(' ' || lower(text) || ' ', '\\sand\\s')) - 1
-               + len(string_split_regex(' ' || lower(text) || ' ', '\\sto\\s')) - 1
-               + len(string_split_regex(' ' || lower(text) || ' ', '\\sin\\s')) - 1
-               )::DOUBLE
+        + (1.0 - least(
+              length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))::DOUBLE
+              / greatest(length(text), 1) * 5, 1.0)) * 0.3
+        + least({en_hits}::DOUBLE
                / greatest(len(string_split_regex(trim(text), '\\s+')), 1) * 4.0,
                1.0) * 0.3, 6) AS q
       FROM documents)
     GROUP BY source
-    """,
+    """
+
+
+@register(
+    "text_quality",
+    _quality_oracle_sql(),
     "quality scoring: length/punct/stopword ratio filter")
 def q_text_quality(spark, sf_dir):
     d = t_wide(spark, sf_dir, "documents")
@@ -1124,17 +1145,11 @@ def q_classify_alternatives(spark, sf_dir):
 def _langid_oracle_sql() -> str:
     """DuckDB rendering of textstats.predict_lang, generated from the same
     LANG_STOPWORDS table so the two sides cannot drift: per-language stopword
-    hit counts via regexp-split counting, argmax via list_max over
+    hit counts via _sql_stopword_hits, argmax via list_max over
     (hits, lang) structs (struct comparison is lexicographic in DuckDB exactly
     as array_max over structs is in Spark), 'und' when every count is zero."""
-    def hits(words):
-        terms = " + ".join(
-            "(len(regexp_split_to_array(' ' || lower(text) || ' ', "
-            f"'\\s{w}\\s')) - 1)" for w in words)
-        return f"greatest({terms}, 0)"
-
     structs = ", ".join(
-        f"{{'hits': {hits(ws)}, 'lang': '{lang}'}}"
+        f"{{'hits': {_sql_stopword_hits(ws)}, 'lang': '{lang}'}}"
         for lang, ws in sorted(textstats.LANG_STOPWORDS.items()))
     return f"""
     WITH scored AS (

@@ -128,13 +128,14 @@ def stream_extract_with_lineage(
     """Incremental extraction with per-micro-batch lineage rows — the
     streaming rendering of the batch job's per-partition lineage table.
 
-    ``foreachBatch`` writes each micro-batch's results (append) and its
-    status tallies stamped with the batch id (the snapshot-id analog) in one
-    pass over a batch-local persist. Restart safety: foreachBatch may replay
-    the LAST uncommitted batch after a crash, so lineage consumers dedup on
-    ``batch_seq`` (max per id wins) — Spark's documented at-least-once
-    foreachBatch contract; the parquet results sink stays exactly-once via
-    the commit log. Lineage is PII-free by schema (counts only)."""
+    ``foreachBatch`` writes each micro-batch's results and its status tallies
+    stamped with the batch id (the snapshot-id analog) in one pass over a
+    batch-local persist. Restart safety: foreachBatch is AT-LEAST-ONCE (a
+    crash between the write and the streaming-checkpoint commit replays the
+    batch), so both sinks are made idempotent the same way the batch
+    checkpoint is — partitioned by ``batch_seq`` with dynamic partition
+    overwrite: a replay rewrites exactly its own partition, never
+    duplicating. Lineage is PII-free by schema (counts only)."""
     results = extract_stream(
         read_transcript_stream(spark, input_path, max_files_per_trigger),
         target_partitions=target_partitions)
@@ -142,16 +143,24 @@ def stream_extract_with_lineage(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark import StorageLevel
 
+        session = batch_df.sparkSession
+        prior = session.conf.get("spark.sql.sources.partitionOverwriteMode",
+                                 "static")
         batch_df.persist(StorageLevel.DISK_ONLY)
+        session.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            batch_df.write.mode("append").parquet(output_path)
+            (batch_df.withColumn("batch_seq", sf.lit(batch_id))
+             .write.mode("overwrite").partitionBy("batch_seq")
+             .parquet(output_path))
             (batch_df.groupBy("status")
              .agg(sf.count("*").alias("row_count"),
                   sf.sum("n_fields").alias("field_count"))
              .withColumn("batch_seq", sf.lit(batch_id))
              .coalesce(1)
-             .write.mode("append").parquet(lineage_path))
+             .write.mode("overwrite").partitionBy("batch_seq")
+             .parquet(lineage_path))
         finally:
+            session.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
             batch_df.unpersist()
 
     writer = (results.writeStream.foreachBatch(write_batch)
@@ -189,10 +198,15 @@ def _assemble_fn(key, pdf_iter, state):
         merged = _json.loads(merged_json)
     else:
         n_turns, merged = 0, {}
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("turn_idx")
-        n_turns += len(pdf)
-        for fields in pdf["fields"]:
+    # Materialize the whole micro-batch before sorting: a conversation larger
+    # than the Arrow batch size arrives as SEVERAL chunks in shuffle order,
+    # and per-chunk sorting would let a later turn's value win setdefault —
+    # first-occurrence-wins must follow GLOBAL turn order within the batch.
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True).sort_values("turn_idx")
+        n_turns += len(batch)
+        for fields in batch["fields"]:
             for name, value in dict(fields).items():
                 merged.setdefault(name, value)
     state.update((n_turns, _json.dumps(merged, sort_keys=True)))

@@ -100,3 +100,31 @@ def test_conversation_never_splits_across_snapshots(spark, tiny_transcripts,
         assert seen_convs <= set(out.index)
         seen_convs = set(out.index)
     assert seen_convs == set(input_counts.index)  # all convs exactly once
+
+
+def test_empty_pending_buckets_complete_without_wedging(spark, tmp_path):
+    """Regression: a snapshot over buckets holding ZERO rows (input hashing
+    into few buckets) crashed on lineage write (CANNOT_INFER_EMPTY_SCHEMA
+    via a toPandas round-trip) BEFORE the manifest commit — the resume loop
+    then retried the same empty buckets forever."""
+    import pandas as pd
+
+    # one conversation → exactly one non-empty bucket out of 8
+    df = pd.DataFrame({
+        "conv_id": ["only-conv"] * 4, "turn_idx": range(4),
+        "role": ["user"] * 4, "text": ["CPF 123.456.789-01"] * 4,
+        "tool": [""] * 4,
+        "ts": pd.to_datetime(["2026-01-01"] * 4).astype("datetime64[us]"),
+    })
+    path = str(tmp_path / "t.parquet")
+    df.to_parquet(path, index=False)
+
+    pending = None
+    for _ in range(8):  # one bucket per snapshot; 7 of them are EMPTY
+        s = checkpoint.run_resumable(
+            spark, path, str(tmp_path / "out"), str(tmp_path / "m.json"),
+            lineage_path=str(tmp_path / "lin"), n_buckets=8,
+            max_buckets_per_snapshot=1)
+        pending = s["pending_after"]
+    assert pending == []  # completed — no wedge
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 4

@@ -128,3 +128,26 @@ def test_text_report_layout(spark, tiny_transcripts_path, tmp_path):
     assert "Accuracy by Payload Kind:" in text and "Accuracy by Field:" in text
     assert "(" in text and "/" in text  # correct/total lines
     assert open(path, encoding="utf-8").read() == text
+
+
+def test_coverage_surfaces_unmatched_golden(spark):
+    """An engine that lost most of its output must not silently score high:
+    evaluate() reports golden rows with no prediction, and the text report
+    warns (and survives a fully-empty pairing without crashing)."""
+    from br_doc_ocr_spark.evaluation import evaluate, generate_evaluation_report
+
+    golden = spark.createDataFrame(
+        [("c", i, {"cpf": "1"}, "t", "success", "prose") for i in range(10)],
+        "conv_id string, turn_idx int, fields map<string,string>, "
+        "extracted_text string, status string, payload_kind string")
+    pred = golden.filter("turn_idx = 0")  # 90% of predictions lost
+    report = evaluate(pred, golden)
+    cov = report["coverage"].first()
+    assert cov["unmatched_golden"] == 9 and cov["golden_total"] == 10
+    text = generate_evaluation_report(report)
+    assert "WARNING" in text and "9/10" in text
+
+    # fully-disjoint keys: report renders zeros instead of crashing
+    none_pred = golden.filter("turn_idx < 0")
+    text = generate_evaluation_report(evaluate(none_pred, golden))
+    assert "Overall Accuracy: 0.00%" in text and "10/10" in text

@@ -188,3 +188,24 @@ def test_ivf_multiprobe_recall_beats_single_probe(spark):
              similarity.ivf_topk(emb, q, 10, n_bits=4, probe_hamming=1).collect()}
     assert len(exact & multi) >= len(exact & single)
     assert len(exact & multi) >= 6  # recall@10 ≥ 0.6 on this fixed corpus
+
+
+def test_stopword_counts_punctuation_adjacency_and_cjk(spark):
+    """Review regressions: split-based counting consumed the shared
+    delimiter ('the the' counted once) and required whitespace boundaries
+    ('the.' never matched); zh stopwords could never match (no word
+    boundaries in Chinese prose); accented letters counted as punctuation."""
+    from pyspark.sql import functions as sf
+
+    df = spark.createDataFrame(
+        [("the the cat, the.",), ("这是我的书，的的",),
+         ("não informação órgão!",)], "text string")
+    out = df.select(
+        textstats.stopword_hits(sf.col("text"), ("the",)).alias("the_hits"),
+        textstats.stopword_hits(sf.col("text"), ("的",)).alias("zh_hits"),
+        textstats.punct_ratio(sf.col("text")).alias("punct"),
+        textstats.predict_lang(sf.col("text")).alias("lang"),
+    ).collect()
+    assert out[0]["the_hits"] == 3 and out[0]["lang"] == "en"
+    assert out[1]["zh_hits"] == 3 and out[1]["lang"] == "zh"
+    assert out[2]["punct"] < 0.1  # only '!' is punctuation, not ã/ç/é
