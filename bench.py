@@ -17,8 +17,13 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# turns for the synthetic extraction-bench table, proportional to sf
-_SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+# turns for the synthetic extraction-bench table, proportional to sf; parse
+# the scale factor from a sfN.N BASENAME only (a bare substring match on the
+# whole path crashed on directories like .../transforms/ that contain 'sf')
+import re as _re
+
+_SF_MATCH = _re.search(r"sf([0-9.]+)/*$", SF_DIR)
+_SF = float(_SF_MATCH.group(1)) if _SF_MATCH else 0.1
 N_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", str(int(2_000_000 * _SF))))
 
 BENCH_QUERIES = [
@@ -55,24 +60,23 @@ def _run_extraction(spark, input_path: str, warm: bool = True,
     return times[0], runs[0][1], [round(t, 3) for t in times]
 
 
-def _prepare_transcripts(spark, path: str) -> None:
-    from br_doc_ocr_spark.synth import make_transcripts_spark
+def _prepare_transcripts(spark, path: str, n_turns: int) -> None:
+    from br_doc_ocr_spark.synth import synth_to_parquet
 
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        make_transcripts_spark(spark, N_TURNS, max(N_TURNS // 200, 16)) \
-            .write.mode("overwrite").parquet(path)
+        synth_to_parquet(spark, n_turns, path)
 
 
 def main() -> None:
     from br_doc_ocr_spark.queries import REGISTRY
     from br_doc_ocr_spark.session import build_session
 
-    tpath = f"/tmp/spark_graft_bench/transcripts_{N_TURNS}.parquet"
+    tpath = f"/tmp/spark_graft_bench/transcripts_v2_{N_TURNS}.parquet"
     timings: dict[str, float] = {}
     extra: dict[str, object] = {}
 
     spark = build_session(app_name="bench", cpus=CPUS)
-    _prepare_transcripts(spark, tpath)
+    _prepare_transcripts(spark, tpath, N_TURNS)
 
     # warm the JVM/Python workers once so timings measure the plan, not init
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
@@ -99,13 +103,9 @@ def main() -> None:
         # N vs 4N parallelism on the SAME (4× larger) input — larger so the
         # timed run is seconds-scale at both levels and fixed scheduling
         # overhead does not masquerade as poor scaling.
-        from br_doc_ocr_spark.synth import make_transcripts_spark
-
         n_scale = N_TURNS * 4
-        spath = f"/tmp/spark_graft_bench/transcripts_{n_scale}.parquet"
-        if not os.path.exists(os.path.join(spath, "_SUCCESS")):
-            make_transcripts_spark(spark, n_scale, max(n_scale // 200, 16)) \
-                .write.mode("overwrite").parquet(spath)
+        spath = f"/tmp/spark_graft_bench/transcripts_v2_{n_scale}.parquet"
+        _prepare_transcripts(spark, spath, n_scale)
         spark.stop()
         # N vs 4N with 4N = CPUS/2: each local[N] task pairs a JVM thread
         # with a Python worker, so local[CPUS] runs 2×CPUS runnable threads —

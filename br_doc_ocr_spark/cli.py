@@ -48,12 +48,15 @@ def cmd_extract(args) -> int:
         from br_doc_ocr_spark.core.schemas import load_schema
 
         schema = load_schema(args.schema)
-    ordered, _ = run_pipeline(
+    run_pipeline(
         spark, args.input, output_path=args.output,
         lineage_path=args.lineage, salt=args.salt, run_id=args.run_id,
         max_payload_chars=args.max_payload_chars, schema=schema)
+    # summarize the WRITTEN parquet — aggregating the returned frame would
+    # re-run the whole kernel (run_pipeline unpersists its cache on return)
     summary = {r["status"]: r["n"] for r in
-               ordered.groupBy("status").agg(sf.count("*").alias("n")).collect()}
+               spark.read.parquet(args.output)
+               .groupBy("status").agg(sf.count("*").alias("n")).collect()}
     print(json.dumps({"output": args.output, "status_counts": summary}))
     return 0
 
@@ -121,8 +124,11 @@ def cmd_evaluate(args) -> int:
     per_field = [r.asDict() for r in report["per_field"].collect()]
     print(json.dumps({"overall": overall, "per_kind": per_kind,
                       "per_field": per_field}))
-    # ≥0.90 accuracy gate, exit 1 below target (cli/evaluate.py:174-180)
-    return 0 if overall["accuracy"] >= args.target else 1
+    # ≥0.90 accuracy gate, exit 1 below target (cli/evaluate.py:174-180);
+    # an empty/disjoint pairing yields accuracy NULL → fail the gate, don't
+    # TypeError on None >= float
+    accuracy = overall.get("accuracy")
+    return 0 if accuracy is not None and accuracy >= args.target else 1
 
 
 def cmd_schemas(args) -> int:
@@ -141,11 +147,10 @@ def cmd_schemas(args) -> int:
 
 
 def cmd_synth(args) -> int:
-    from br_doc_ocr_spark.synth import make_transcripts_spark
+    from br_doc_ocr_spark.synth import synth_to_parquet
 
     spark = _session(args)
-    make_transcripts_spark(spark, args.turns, max(args.turns // 200, 16)) \
-        .write.mode("overwrite").parquet(args.output)
+    synth_to_parquet(spark, args.turns, args.output)
     print(json.dumps({"output": args.output, "turns": args.turns}))
     return 0
 

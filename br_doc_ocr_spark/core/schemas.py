@@ -251,8 +251,12 @@ def schema_example(schema: dict[str, Any]) -> dict[str, Any]:
         if t == "object":
             out[name] = schema_example(spec)
         elif t == "array":
+            # items may be a dict, a tuple-form LIST, or a bool per
+            # JSON-Schema — only the dict form carries a usable type
             items = spec.get("items", {})
-            out[name] = [schema_example(items)] if items.get("type") == "object" else []
+            out[name] = ([schema_example(items)]
+                         if isinstance(items, dict)
+                         and items.get("type") == "object" else [])
         else:
             out[name] = defaults.get(t)
     return out
@@ -312,7 +316,10 @@ def to_struct_type(schema: dict[str, Any]):
                 for n, s in spec.get("properties", {}).items()
             ])
         if t == "array":
-            return T.ArrayType(convert(spec.get("items", {}) or {}))
+            items = spec.get("items", {})
+            # tuple-form (list) / boolean items degrade to string elements
+            # instead of crashing convert() with a non-dict spec
+            return T.ArrayType(convert(items if isinstance(items, dict) else {}))
         return getattr(T, {
             "string": "StringType", "number": "DoubleType",
             "integer": "LongType", "boolean": "BooleanType",

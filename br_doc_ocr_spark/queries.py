@@ -723,11 +723,16 @@ def q_fn_state_extraction(spark, sf_dir):
            round(len(list_intersect(pred, actual))::DOUBLE
                  / greatest(len(actual), 1), 6) AS recall
     FROM (
+      -- coalesce to []: a user with ZERO qualifying rows gets NULL from
+      -- list(...) FILTER while Spark's collect_set gives [] (precision 0.0,
+      -- not NULL) — latent divergence until such a user exists in the data
       SELECT user_id,
-             list_sort(list(DISTINCT CASE WHEN value >= 50 THEN event_type END
-                            ) FILTER (value >= 50)) AS pred,
-             list_sort(list(DISTINCT CASE WHEN event_id % 2 = 0 THEN event_type
-                            END) FILTER (event_id % 2 = 0)) AS actual
+             coalesce(list_sort(list(DISTINCT CASE WHEN value >= 50
+                                     THEN event_type END
+                            ) FILTER (value >= 50)), []) AS pred,
+             coalesce(list_sort(list(DISTINCT CASE WHEN event_id % 2 = 0
+                                     THEN event_type
+                            END) FILTER (event_id % 2 = 0)), []) AS actual
       FROM events GROUP BY user_id)
     """,
     "A4 precision/recall over field-name sets (evaluation.py:202-236): "
@@ -751,12 +756,18 @@ def q_eval_set_prf(spark, sf_dir):
 # Text analysis (training-data ops)
 # ===========================================================================
 
+# whitespace token count with the empty/whitespace-only guard Spark's
+# textstats.token_count applies (a bare split counts 1 token for '')
+_SQL_NTOKENS = ("(CASE WHEN length(trim(text)) = 0 THEN 0 "
+                "ELSE len(string_split_regex(trim(text), '\\s+')) END)")
+
+
 @register(
     "text_token_stats",
-    """
-    SELECT lang, round(avg(len(string_split_regex(trim(text), '\\s+'))), 6)
+    f"""
+    SELECT lang, round(avg({_SQL_NTOKENS}), 6)
              AS avg_tokens,
-           max(len(string_split_regex(trim(text), '\\s+'))) AS max_tokens,
+           max({_SQL_NTOKENS}) AS max_tokens,
            count(*) AS n_docs
     FROM documents GROUP BY lang
     """,
@@ -778,12 +789,12 @@ def _quality_oracle_sql() -> str:
     return f"""
     SELECT source, round(avg(q), 6) AS avg_quality, count(*) AS n FROM (
       SELECT source,
-        round(least(len(string_split_regex(trim(text), '\\s+')) / 64.0, 1.0) * 0.4
+        round(least({_SQL_NTOKENS} / 64.0, 1.0) * 0.4
         + (1.0 - least(
               length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))::DOUBLE
               / greatest(length(text), 1) * 5, 1.0)) * 0.3
         + least({en_hits}::DOUBLE
-               / greatest(len(string_split_regex(trim(text), '\\s+')), 1) * 4.0,
+               / greatest({_SQL_NTOKENS}, 1) * 4.0,
                1.0) * 0.3, 6) AS q
       FROM documents)
     GROUP BY source

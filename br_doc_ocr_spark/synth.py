@@ -176,6 +176,16 @@ def make_transcripts_pandas(
     return df
 
 
+def synth_to_parquet(spark, n_turns: int, path: str,
+                     n_convs: int | None = None) -> None:
+    """Write a synthetic transcript table — the ONE recipe shared by the CLI
+    ``synth`` command and bench.py (the turns//200 conv-count heuristic was
+    previously restated at three call sites)."""
+    make_transcripts_spark(spark, n_turns,
+                           n_convs or max(n_turns // 200, 16)) \
+        .write.mode("overwrite").parquet(path)
+
+
 # ---------------------------------------------------------------------------
 # Spark-native generator (no driver loop, no UDF): hash-derived randomness.
 # ---------------------------------------------------------------------------
@@ -191,16 +201,23 @@ def make_transcripts_spark(spark, n_turns: int, n_convs: int, skew_share: float 
     from pyspark.sql import functions as sf
 
     base = spark.range(n_turns).withColumnRenamed("id", "row_id")
-    h = sf.xxhash64(sf.col("row_id")).bitwiseAND(sf.lit(0x7FFFFFFFFFFFFFFF))
+    mask = sf.lit(0x7FFFFFFFFFFFFFFF)
+    # INDEPENDENT hash streams per attribute — deriving conv/role/kind from
+    # one hash made them fully correlated (every conversation got exactly one
+    # payload kind and one role, and conv-heavy was 100% cheap prose, so the
+    # skew benchmark timed the lightest kind on the hot key)
+    h = sf.xxhash64(sf.col("row_id")).bitwiseAND(mask)
+    h_role = sf.xxhash64(sf.col("row_id"), sf.lit(2)).bitwiseAND(mask)
+    h_kind = sf.xxhash64(sf.col("row_id"), sf.lit(3)).bitwiseAND(mask)
     conv_bucket = h % int(n_convs)
     df = base.select(
         sf.when(h % 1000 < int(skew_share * 1000), sf.lit("conv-heavy"))
           .otherwise(sf.format_string("conv-%05d", conv_bucket.cast("int")))
           .alias("conv_id"),
         sf.col("row_id"),
-        (h % 4).cast("int").alias("role_idx"),
-        (h % 100).alias("kind_roll"),
-        sf.xxhash64(sf.col("row_id"), sf.lit(1)).bitwiseAND(sf.lit(0x7FFFFFFFFFFFFFFF)).alias("h2"),
+        (h_role % 4).cast("int").alias("role_idx"),
+        (h_kind % 100).alias("kind_roll"),
+        sf.xxhash64(sf.col("row_id"), sf.lit(1)).bitwiseAND(mask).alias("h2"),
     )
     cpf_digits = sf.lpad((sf.col("h2") % 99999999999).cast("string"), 11, "0")
     cpf = sf.concat_ws("", sf.substring(cpf_digits, 1, 3), sf.lit("."),
