@@ -543,11 +543,13 @@ def q_fn_digit_validation(spark, sf_dir):
 @register(
     "fn_invoice_totals",
     """
+    -- ::BIGINT: DuckDB sum() yields HUGEINT which pandas renders as float,
+    -- breaking the driver's value hash against Spark's BIGINT (VERDICT r01 #1)
     SELECT l_returnflag,
            sum(CASE WHEN abs(total - (produtos + impostos)) <= 0.01
-                    THEN 1 ELSE 0 END) AS n_valid,
+                    THEN 1 ELSE 0 END)::BIGINT AS n_valid,
            sum(CASE WHEN abs(total - (produtos + impostos)) > 0.01
-                    THEN 1 ELSE 0 END) AS n_invalid
+                    THEN 1 ELSE 0 END)::BIGINT AS n_invalid
     FROM (
       SELECT l_returnflag,
              l_extendedprice AS produtos,
@@ -631,7 +633,11 @@ def q_event_time_window(spark, sf_dir):
 @register(
     "low_confidence_flags",
     """
-    SELECT user_id, list_sort(list(DISTINCT event_type)) AS low_types FROM (
+    -- string-joined (not ARRAY) so the driver's pandas canonicalization can
+    -- sort/hash the column (VERDICT r01 #2: list columns are unhashable there)
+    SELECT user_id,
+           list_aggr(list_sort(list(DISTINCT event_type)), 'string_agg', ',')
+             AS low_types FROM (
       SELECT user_id, event_type, avg(value) AS avg_v
       FROM events GROUP BY user_id, event_type HAVING avg(value) < 50)
     GROUP BY user_id
@@ -642,7 +648,8 @@ def q_low_confidence_flags(spark, sf_dir):
     low = (ev.groupBy("user_id", "event_type").agg(sf.avg("value").alias("avg_v"))
            .filter(sf.col("avg_v") < 50))
     return (low.groupBy("user_id")
-            .agg(sf.array_sort(sf.collect_set("event_type")).alias("low_types")))
+            .agg(sf.array_join(sf.array_sort(sf.collect_set("event_type")), ",")
+                 .alias("low_types")))
 
 
 @register(

@@ -90,6 +90,24 @@ def main() -> int:
             continue
         ng, cg, rg = canonicalize(got)
         ne, ce, re_ = canonicalize(exp)
+        # Reproduce the two driver-harness failure modes the relaxed value
+        # compare below would mask (VERDICT r01 #1/#2): list-typed cells crash
+        # the driver's sort_values, and int-vs-float dtype skew (DuckDB HUGEINT
+        # → pandas float) flips its value hash even when values are equal.
+        harness_errs = []
+        for col in sorted(got.columns):
+            gv = next((v for v in got[col] if v is not None), None)
+            if isinstance(gv, (list, tuple)) or type(gv).__name__ == "ndarray":
+                harness_errs.append(f"{col}: list-typed (driver sort crashes)")
+            ek = exp[col].dtype.kind if col in exp.columns else "?"
+            gk = got[col].dtype.kind
+            if {gk, ek} == {"i", "f"}:
+                harness_errs.append(f"{col}: dtype skew spark={gk} duckdb={ek}"
+                                    " (driver hash mismatch)")
+        if harness_errs:
+            failures.append(name)
+            print(f"FAIL  {name}: driver-harness hazard: {harness_errs}")
+            continue
         if cg != ce:
             failures.append(name)
             print(f"FAIL  {name}: columns spark={cg} duckdb={ce}")
