@@ -10,18 +10,18 @@ Scale design notes (the part that matters at 100 TB):
   self-equi-join on (band_idx, band_hash) — a shuffle keyed by band hash, so
   only colliding docs ever meet. Verification re-checks true Jaccard on the
   candidates only.
-- **SimHash**: 64-bit signature via an Arrow kernel (bit-packing has no JVM
-  primitive); near-dup = Hamming distance ≤ k via banded equality on 16-bit
-  chunks (same LSH-join trick, pigeonhole: d ≤ 3 ⇒ ≥1 of 4 chunks equal).
+- **SimHash**: 64-bit signature from md5 token hashes, computed entirely in
+  column expressions (explode → 64 bit indicators → partial-agg conditional
+  sums → majority pack — no Python anywhere); near-dup = Hamming distance
+  ≤ k via banded equality on 16-bit chunks (same LSH-join trick, pigeonhole:
+  d ≤ 3 ⇒ ≥1 of 4 chunks equal). md5 evaluates identically in DuckDB, so
+  the whole operator has a value-level SQL oracle (queries.py).
 - **n-gram Jaccard**: exact verifier used on candidate pairs; standalone
   variant provided for small sides / tests.
 """
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator
-
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as sf
 
@@ -219,49 +219,84 @@ def minhash_near_duplicates(
 
 
 # ---------------------------------------------------------------------------
-# SimHash (Arrow kernel for bit packing, LSH-style chunk join for pairs)
+# SimHash — pure column expressions end to end (no Python kernel).
+#
+# Token hash: md5 is the one hash primitive Spark and DuckDB both evaluate
+# identically (hex digest over UTF-8 bytes), so the 64-bit token hash
+# (hex digits 1-15 → bits 0-59, digit 16 → bits 60-63) is exactly
+# reproducible in oracle SQL — queries.py renders the whole signature +
+# pair join in DuckDB and the driver value-hashes both sides.
 # ---------------------------------------------------------------------------
 
-def _simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash of a token list (blake2b token hashes, majority vote per
-    bit). The bit-spreading/majority/packing is vectorized with numpy — only
-    the per-token blake2b call remains a Python loop (inherent to hashlib);
-    values are identical to the scalar formulation (bit i of the output is set
-    iff more than half the token hashes have bit i set)."""
-    if not tokens:
-        return 0
-    import hashlib
+def simhash_tokens(text: Column) -> Column:
+    """Whitespace token multiset of lowered text (Python ``s.lower().split()``
+    semantics: any whitespace run separates, no empty tokens)."""
+    toks = sf.split(sf.trim(sf.lower(text)), r"\s+")
+    return sf.filter(toks, lambda x: x != "")
 
-    import numpy as np
 
-    digests = b"".join(
-        hashlib.blake2b(tok.encode(), digest_size=8).digest() for tok in tokens)
-    hbytes = np.frombuffer(digests, dtype=np.uint8).reshape(-1, 8)
-    # int.from_bytes(d, "big") bit i == LSB-first bit i of the byte-reversed
-    # row, so unpack little-endian over reversed bytes → columns are bits 0..63
-    bits = np.unpackbits(hbytes[:, ::-1], axis=1, bitorder="little")
-    majority = bits.sum(axis=0, dtype=np.int64) * 2 > len(tokens)  # acc > 0
-    # pack [b63..b0] big-endian → the unsigned 64-bit value, then sign it
-    out = int.from_bytes(np.packbits(majority[::-1]).tobytes(), "big")
-    return out - (1 << 64) if out >= (1 << 63) else out  # signed 64-bit
+def _token_hash64(tok: Column) -> Column:
+    """Signed 64-bit token hash from the first 16 hex digits of md5(token):
+    the value ``int(md5_hex[:16], 16)`` in two's complement.
+
+    ``conv(hex, 16, 10)`` keeps each piece unsigned-safe: digits 1-15 (the
+    high 60 bits) are < 2^60 as a long; ``shiftleft 4`` wraps them into the
+    sign bit exactly like two's complement, and digit 16 fills bits 0-3.
+    """
+    hx = sf.md5(sf.encode(tok, "UTF-8"))
+    high60 = sf.conv(sf.substring(hx, 1, 15), 16, 10).cast("long")
+    low4 = sf.conv(sf.substring(hx, 16, 1), 16, 10).cast("long")
+    return sf.shiftleft(high60, 4).bitwiseOR(low4)
+
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       out_col: str = "simhash") -> DataFrame:
+    """(id, simhash LONG) per document — 64-bit SimHash, all JVM-side.
+
+    Shape mirrors :func:`minhash_signatures`: explode the token multiset,
+    one codegen projection computes all 64 bit indicators of the md5-derived
+    token hash, then ``groupBy(id)`` with 64 conditional sums + a count —
+    map-side partial aggregation means the shuffle carries 65 longs per
+    (partition, id), never the tokens. Bit i of the signature is set iff
+    more than half the token hashes have bit i set. ``explode_outer`` keeps
+    tokenless documents (empty/whitespace text) as a single null-token row,
+    whose all-null bit sums fall through every ``when`` to 0 — signature 0,
+    one scan, no join-back (the empty-doc drop ADVICE r01 flagged for
+    minhash does not recur here).
+    """
+    toks = df.select(
+        sf.col(id_col).alias("id"),
+        sf.explode_outer(simhash_tokens(sf.col(text_col))).alias("_tok"))
+    h = toks.select("id", _token_hash64(sf.col("_tok")).alias("_h"))
+    bits = h.select(
+        "id", *[sf.shiftrightunsigned("_h", i).bitwiseAND(sf.lit(1))
+                .alias(f"_b{i}") for i in range(64)])
+    votes = bits.groupBy("id").agg(
+        sf.count("*").alias("_n"),
+        *[sf.sum(f"_b{i}").alias(f"_s{i}") for i in range(64)])
+    # disjoint bit contributions sum to the packed word; bit 63 is the sign
+    # bit of the signed long, hence the -2^63 literal
+    return votes.select(
+        "id",
+        sum(
+            (sf.when(sf.col(f"_s{i}") * 2 > sf.col("_n"),
+                     sf.lit(-(1 << 63) if i == 63 else (1 << i)))
+             .otherwise(sf.lit(0)).cast("long")
+             for i in range(64)),
+            start=sf.lit(0).cast("long"),
+        ).alias(out_col))
 
 
 def with_simhash(df: DataFrame, text_col: str = "text",
-                 out_col: str = "simhash") -> DataFrame:
-    from pyspark.sql import types as T
-
-    schema = T.StructType(list(df.schema.fields)
-                          + [T.StructField(out_col, T.LongType())])
-
-    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            batch[out_col] = [
-                _simhash64(t.lower().split()) if isinstance(t, str) and t else 0
-                for t in batch[text_col]
-            ]
-            yield batch
-
-    return df.mapInPandas(kernel, schema=schema)
+                 out_col: str = "simhash",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Attach a simhash column by id join-back. The near-dup path uses
+    :func:`simhash_signatures` directly (no join needed); this wrapper keeps
+    the row-level API for callers that want the original columns alongside."""
+    sig = simhash_signatures(df, id_col=id_col, text_col=text_col,
+                             out_col=out_col)
+    return df.join(sig.withColumnRenamed("id", id_col), id_col, "left")
 
 
 def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
@@ -270,7 +305,7 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
     """Near-dups with Hamming(simhash) ≤ max_hamming via the 4×16-bit-chunk
     pigeonhole join (d ≤ 3 ⇒ at least one chunk identical) — candidates from
     an equi-join, exact Hamming verified with ``bit_count(a XOR b)``."""
-    sh = with_simhash(df.select(sf.col(id_col).alias("id"), text_col), text_col)
+    sh = simhash_signatures(df, id_col=id_col, text_col=text_col)
     chunks = sh.select(
         "id", "simhash",
         sf.explode(sf.array(*[

@@ -1016,16 +1016,76 @@ def q_dedup_minhash_lsh(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def _simhash_oracle_sql() -> str:
+    """DuckDB rendering of the full SimHash near-dup operator, value-exact
+    against ops/dedup.py: md5 is the shared hash primitive (identical hex on
+    both engines), the 64-bit token hash is ``int(md5_hex[:16], 16)`` folded
+    from hex digits, per-bit majority via 64 generated sums ((h // 2^i) % 2
+    keeps everything HUGEINT — no shift-operator dependence), two's-complement
+    signing, then a brute-force Hamming ≤ 3 join (exactly the pair set the
+    4-chunk pigeonhole join admits, since d ≤ 3 ⇒ ≥ 1 chunk equal ⇒ no
+    candidate is missed and the verify filter is identical)."""
+    sums = ",\n        ".join(
+        f"sum((h // {1 << i}) % 2) AS s{i}" for i in range(64))
+    pack = "\n          + ".join(
+        f"CASE WHEN s{i}*2 > n THEN {1 << i}::HUGEINT ELSE 0 END"
+        for i in range(64))
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' zz' FROM documents WHERE doc_id % 5 = 0
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM corpus
+    ),
+    hashed AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(0::HUGEINT,
+                 list_transform(string_split(substring(md5(tok), 1, 16), ''),
+                                c -> (strpos('0123456789abcdef', c) - 1)::HUGEINT)),
+               (a, d) -> a * 16 + d) AS h
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, count(*) AS n,
+        {sums}
+      FROM hashed GROUP BY doc_id
+    ),
+    packed AS (
+      SELECT doc_id,
+        ({pack}) AS u
+      FROM votes
+    ),
+    sigs AS (
+      SELECT c.doc_id,
+             coalesce((CASE WHEN u >= {1 << 63} THEN u - {1 << 64}
+                            ELSE u END)::BIGINT, 0) AS simhash
+      FROM corpus c LEFT JOIN packed p USING (doc_id)
+    )
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+           CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+    FROM sigs l JOIN sigs r ON l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+    """
+
+
 @register(
-    "dedup_simhash", None,
-    "SimHash near-dup pairs (64-bit signature, 16-bit-chunk pigeonhole join)")
+    "dedup_simhash", _simhash_oracle_sql(),
+    "SimHash near-dup pairs (64-bit md5-vote signature, 16-bit-chunk "
+    "pigeonhole join) — value-level DuckDB oracle via the shared md5 primitive")
 def q_dedup_simhash(spark, sf_dir):
-    d = t_wide(spark, sf_dir, "documents")  # spread the Arrow simhash kernel
+    d = t_wide(spark, sf_dir, "documents")  # spread the md5/bit-vote projection
     mutated = d.filter(sf.col("doc_id") % 5 == 0).select(
         (sf.col("doc_id") + 1000000).alias("doc_id"),
         sf.concat(sf.col("text"), sf.lit(" zz")).alias("text"))
     corpus = d.select("doc_id", "text").unionByName(mutated)
     return (dedup.simhash_near_duplicates(corpus, max_hamming=3)
+            .select("id_a", "id_b", sf.col("hamming").cast("int").alias("hamming"))
             .orderBy("id_a", "id_b"))
 
 

@@ -70,10 +70,43 @@ def test_simhash_near_duplicates(docs):
     assert all(h <= 3 for h in pairs.values())
 
 
-def test_simhash_kernel_is_locality_sensitive():
-    a = dedup._simhash64("the quick brown fox jumps over the lazy dog".split())
-    b = dedup._simhash64("the quick brown fox jumps over the lazy cat".split())
-    c = dedup._simhash64("astronomia quantica nas montanhas geladas".split())
+def _simhash64_py(text: str) -> int:
+    """Independent scalar model of the column-expression SimHash: md5-derived
+    64-bit token hashes, per-bit majority vote, signed two's-complement."""
+    import hashlib
+
+    tokens = text.lower().split()
+    if not tokens:
+        return 0
+    votes = [0] * 64
+    for tok in tokens:
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+        for i in range(64):
+            votes[i] += (h >> i) & 1
+    out = sum(1 << i for i in range(64) if votes[i] * 2 > len(tokens))
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def test_simhash_signatures_match_python_model(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "astronomia quantica nas montanhas geladas"),
+        (3, "  weird   Whitespace\tand\nnewlines  "),
+        (4, ""),            # tokenless → 0
+        (5, "   "),         # whitespace-only → 0
+        (6, "único"),       # non-ASCII UTF-8 token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["simhash"]
+           for r in dedup.simhash_signatures(df).collect()}
+    assert got == {i: _simhash64_py(t) for i, t in rows}
+
+
+def test_simhash_is_locality_sensitive():
+    a = _simhash64_py("the quick brown fox jumps over the lazy dog")
+    b = _simhash64_py("the quick brown fox jumps over the lazy cat")
+    c = _simhash64_py("astronomia quantica nas montanhas geladas")
     ham_ab = bin((a ^ b) & ((1 << 64) - 1)).count("1")
     ham_ac = bin((a ^ c) & ((1 << 64) - 1)).count("1")
     assert ham_ab < ham_ac
