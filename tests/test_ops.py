@@ -206,6 +206,22 @@ def test_fingerprint_deterministic(spark):
     assert fp[1] == textstats._fingerprint_str("abc")
 
 
+def test_fingerprint_batch_matches_scalar_model():
+    """The vectorized block-Horner kernel must be value-identical to the
+    scalar spec across block-boundary lengths, unicode, and empties."""
+    blk = textstats._FP_BLOCK
+    cases = [
+        "", "a", "abc", None, 7,            # degenerate / non-string → 0
+        "x" * (blk - 1), "x" * blk, "x" * (blk + 1), "y" * (3 * blk + 17),
+        "açúcar émoji ✓ 中文 \U0001F600",   # multi-byte + astral codepoint
+        "the quick brown fox " * 100,
+    ]
+    got = textstats._fingerprint_batch(cases)
+    want = [textstats._fingerprint_str(c) if isinstance(c, str) else 0
+            for c in cases]
+    assert got == want
+
+
 def test_ivf_multiprobe_recall_beats_single_probe(spark):
     """Multi-probe IVF (Hamming-1 neighbor cells) must recover most of the
     brute-force top-k that single-probe misses on the sandbox embeddings
