@@ -33,6 +33,7 @@ __all__ = [
     "run_pipeline",
     "run_resumable",
     "extract_turn",
+    "extract_one",
     "oracle_extract",
     "load_schema",
     "evaluate",
@@ -45,6 +46,7 @@ _EXPORTS = {
     "run_pipeline": ("br_doc_ocr_spark.pipeline", "run_pipeline"),
     "run_resumable": ("br_doc_ocr_spark.checkpoint", "run_resumable"),
     "extract_turn": ("br_doc_ocr_spark.core.extract", "extract_turn"),
+    "extract_one": ("br_doc_ocr_spark.core.extract", "extract_one"),
     "oracle_extract": ("br_doc_ocr_spark.core.extract", "oracle_extract"),
     "load_schema": ("br_doc_ocr_spark.core.schemas", "load_schema"),
 }

@@ -51,7 +51,8 @@ def cmd_extract(args) -> int:
     run_pipeline(
         spark, args.input, output_path=args.output,
         lineage_path=args.lineage, salt=args.salt, run_id=args.run_id,
-        max_payload_chars=args.max_payload_chars, schema=schema)
+        max_payload_chars=args.max_payload_chars, schema=schema,
+        drop_confidence=args.no_confidence)
     # summarize the WRITTEN parquet — aggregating the returned frame would
     # re-run the whole kernel (run_pipeline unpersists its cache on return)
     summary = {r["status"]: r["n"] for r in
@@ -59,6 +60,37 @@ def cmd_extract(args) -> int:
                .groupBy("status").agg(sf.count("*").alias("n")).collect()}
     print(json.dumps({"output": args.output, "status_counts": summary}))
     return 0
+
+
+def cmd_extract_one(args) -> int:
+    """Single-record extraction (the reference's POST /extract /
+    single-file CLI path) — kernel-direct, no Spark session spun up."""
+    from br_doc_ocr_spark.core.extract import extract_one
+
+    if (args.text is None) == (args.file is None):
+        print("exactly one of --text / --file is required", file=sys.stderr)
+        return 2
+    text = args.text
+    if args.file is not None:
+        try:
+            with open(args.file, encoding="utf-8") as f:
+                text = f.read()
+        except FileNotFoundError:
+            print(f"file not found: {args.file}", file=sys.stderr)
+            return 2
+    schema = None
+    if args.schema:
+        from br_doc_ocr_spark.core.schemas import load_schema
+
+        schema = load_schema(args.schema)
+    result = extract_one(text, schema=schema, document_type=args.document_type,
+                         confidence=not args.no_confidence,
+                         multi_document=args.multi_document)
+    print(json.dumps(result, ensure_ascii=False))
+    statuses = ([r["status"] for r in result]
+                if isinstance(result, list) else [result["status"]])
+    # exit 4 on failure like the reference CLI (cli/extract.py:164-178)
+    return 0 if all(s != "failed" for s in statuses) else 4
 
 
 def cmd_resume(args) -> int:
@@ -172,7 +204,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--schema", default=None,
                    help="schema-guided extraction (US4): JSON-Schema as a "
                         "dict-literal string or a file path")
+    p.add_argument("--no-confidence", action="store_true",
+                   help="strip confidence_scores/low_confidence_fields from "
+                        "the output (reference --confidence off, "
+                        "cli/extract.py:130-137)")
     p.set_defaults(func=cmd_extract)
+
+    p = sub.add_parser("extract-one",
+                       help="single-record extraction (POST /extract analog; "
+                            "kernel-direct, no Spark session)")
+    p.add_argument("--text", help="payload text (mutually exclusive with --file)")
+    p.add_argument("--file", help="path to a payload text file")
+    p.add_argument("--schema", default=None)
+    p.add_argument("--document-type", default=None,
+                   choices=["cnh", "rg", "invoice"])
+    p.add_argument("--no-confidence", action="store_true")
+    p.add_argument("--multi-document", action="store_true")
+    p.set_defaults(func=cmd_extract_one)
 
     p = sub.add_parser("resume", help="manifest-checkpointed resumable job")
     p.add_argument("--input", required=True)

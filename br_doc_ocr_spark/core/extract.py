@@ -364,6 +364,90 @@ def oracle_extract_documents(transcripts: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(["conv_id", "turn_idx", "doc_idx"]).reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# Single-record convenience API — the reference's most-used entry point
+# (``POST /extract``, api/app.py:78-121; single-file cli/extract.py:20-178)
+# over the SAME kernel the Spark job runs, so one-off answers and 100-TB
+# batch answers cannot diverge. Driver-side, no session needed.
+# ---------------------------------------------------------------------------
+
+# Which extracted fields vote for which document type (classification by
+# schema-field overlap — the graft analog of services/classification.py's
+# type decision; priority cnh > rg > invoice mirrors field specificity).
+_DOC_TYPE_HINTS: tuple[tuple[str, frozenset[str]], ...] = (
+    ("cnh", frozenset({"categoria_habilitacao"})),
+    ("rg", frozenset({"rg", "orgao_emissor"})),
+    ("invoice", frozenset({"cnpj", "valor", "chave_acesso"})),
+)
+
+
+def _document_type_of(fields: dict[str, Any]) -> str:
+    for doc_type, hints in _DOC_TYPE_HINTS:
+        if hints & fields.keys():
+            return doc_type
+    return "unknown"
+
+
+def extract_one(
+    text: str | None,
+    schema: dict[str, Any] | None = None,
+    document_type: str | None = None,
+    confidence: bool = True,
+    multi_document: bool = False,
+    model_version: str = "rules-v1",
+) -> dict[str, Any] | list[dict[str, Any]]:
+    """Extract one payload → the reference's ExtractionResult response dict
+    (contract: ``tests/contract/test_api_responses.py:13-111`` — required
+    keys document_type / extracted_data / processing_time_ms / model_version
+    / status; confidence keys present only when requested, exactly like
+    ``return_confidence`` in api/app.py:81 and ``--confidence`` stripping in
+    cli/extract.py:130-137; ``multi_document=True`` returns a list, one
+    entry per detected segment, mirroring extract_document(multi_document)).
+
+    ``document_type`` hints select the built-in schema (cnh/rg/invoice) the
+    way the reference's hint does; an explicit ``schema`` wins over the hint.
+    Errors are captured as a failed result with ``error_message`` (the API's
+    error channel), never raised.
+    """
+    import time as _time
+
+    from br_doc_ocr_spark.core import schemas as S
+
+    if schema is None and document_type is not None:
+        schema = S.get_default(document_type)
+    allowed = schema_field_names(schema)
+
+    def one(payload: str | None) -> dict[str, Any]:
+        t0 = _time.perf_counter()
+        try:
+            r = extract_turn(payload, allowed)
+            result = {
+                "document_type": document_type or _document_type_of(r["fields"]),
+                "extracted_data": r["fields"],
+                "payload_kind": r["payload_kind"],
+                "extracted_text": r["extracted_text"],
+                "status": r["status"],
+                "error_message": None,
+                "model_version": model_version,
+            }
+            if confidence:
+                result["confidence_scores"] = r["confidence_scores"]
+                result["low_confidence_fields"] = r["low_confidence_fields"]
+        except Exception as e:  # the API's 500-channel, shaped as a result
+            result = {
+                "document_type": "unknown", "extracted_data": {},
+                "payload_kind": "unknown", "extracted_text": "",
+                "status": "failed", "error_message": f"{type(e).__name__}: {e}",
+                "model_version": model_version,
+            }
+        result["processing_time_ms"] = int((_time.perf_counter() - t0) * 1000)
+        return result
+
+    if multi_document:
+        return [one(seg) for seg in segment_payload(text)]
+    return one(text)
+
+
 def oracle_extract(transcripts: pd.DataFrame,
                    schema: dict[str, Any] | None = None) -> pd.DataFrame:
     """Single-threaded golden oracle: same kernel, whole table, stable order.

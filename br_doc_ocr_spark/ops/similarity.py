@@ -51,8 +51,19 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
              q_id: str = "q_id", c_id: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
     """k nearest corpus rows per query row. The query side is broadcast (small
-    dim table); the corpus streams — no shuffle of the big side. Per-query
-    top-k via window row_number with deterministic ties."""
+    dim table); the corpus streams — no shuffle of the big side ever carries
+    vectors.
+
+    Two-stage top-k without a hand-built second window: keeping the rank
+    filter DIRECTLY over ``row_number`` lets Catalyst's InferWindowGroupLimit
+    rule (SPARK-37099) insert a map-side Partial WindowGroupLimit before the
+    exchange — every scan partition is cut to ≤ k rows per query BEFORE the
+    shuffle, so the shuffle carries ≤ P·Q·k slim (q_id, c_id, cosine) rows
+    and the per-query final task ranks ≤ P·k rows, never the 10⁹-rows-per-
+    task funnel of a raw window (tests/test_plans.py locks the Partial
+    operator's presence below the Exchange). Don't restructure the filter
+    (e.g. rank through an intermediate table or non-deterministic exprs in
+    the window order) — that defeats the rule."""
     from pyspark.sql import Window
 
     q = queries.select(sf.col(q_id), sf.col(vec_col).cast("array<double>").alias("qv"))
@@ -80,27 +91,64 @@ def ivf_bucket(vec: Column, n_bits: int = 8) -> Column:
     return total
 
 
-def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             n_bits: int = 8, probe_hamming: int = 1) -> DataFrame:
-    """Approximate top-k with multi-probe: scan the query's quantizer cell
-    plus every cell within Hamming distance ``probe_hamming`` of it (the
-    standard multi-probe IVF/LSH recall dial — a true neighbor flips each
-    sign bit with probability arccos(sim)/π, so near cells hold most of the
-    missed mass). Scan fraction ≈ Σ C(n_bits, d) / 2^n_bits for d ≤
-    probe_hamming (n_bits=8, d=1 → 9/256 ≈ 3.5%); verify against
-    :func:`cosine_topk` (measured recall@10 on the testdata embeddings:
-    0.1-0.3 single-probe → 0.7-1.0 at probe_hamming=1)."""
+def probe_buckets(query_vec: list[float], n_bits: int = 8,
+                  probe_hamming: int = 1) -> list[int]:
+    """The quantizer cells a query probes: its home cell plus every cell
+    within Hamming distance ``probe_hamming`` (the standard multi-probe
+    recall dial — a true neighbor flips each sign bit with probability
+    arccos(sim)/π, so near cells hold most of the missed mass)."""
     q_bucket = sum((1 << i) for i, v in enumerate(query_vec[:n_bits]) if v > 0)
     buckets = {q_bucket}
     frontier = {q_bucket}
     for _ in range(probe_hamming):
         frontier = {b ^ (1 << i) for b in frontier for i in range(n_bits)}
         buckets |= frontier
+    return sorted(buckets)
+
+
+def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_bits: int = 8, probe_hamming: int = 1) -> DataFrame:
+    """Approximate top-k with multi-probe over an UN-materialized corpus:
+    computes the quantizer per row and filters — a full scan with a cheap
+    predicate. Correctness/recall twin of :func:`ivf_topk_indexed`; at scale
+    use :func:`write_ivf_index` + :func:`ivf_topk_indexed`, which prunes the
+    scan to the probed cells (≈ Σ C(n_bits, d)/2^n_bits of the files —
+    n_bits=8, d ≤ 1 → 9/256 ≈ 3.5%). Measured recall@10 on the testdata
+    embeddings: 0.1-0.3 single-probe → 0.7-1.0 at probe_hamming=1."""
+    cells = probe_buckets(query_vec, n_bits, probe_hamming)
     cell = embeddings.filter(
-        ivf_bucket(sf.col(vec_col).cast("array<double>"), n_bits)
-        .isin(sorted(buckets))
+        ivf_bucket(sf.col(vec_col).cast("array<double>"), n_bits).isin(cells)
     )
+    return cosine_topk(cell, query_vec, k, id_col, vec_col)
+
+
+def write_ivf_index(embeddings: DataFrame, path: str,
+                    vec_col: str = "embedding", n_bits: int = 8) -> None:
+    """Materialize the IVF index: the corpus written as parquet partitioned
+    by the quantizer cell (``bucket=<cell>/`` directories). A probe then
+    reads ONLY its probed cells via partition pruning — at 100 TB this is
+    the difference between a full scan per query and touching ~3.5% of the
+    files (and cells are further splittable into many files each, so a hot
+    cell still parallelizes). Write shuffle: one repartition by bucket so
+    each cell is a few large files rather than every input task writing a
+    sliver into every cell (small-files problem at 1000 executors)."""
+    bucketed = embeddings.withColumn(
+        "bucket", ivf_bucket(sf.col(vec_col).cast("array<double>"), n_bits))
+    (bucketed.repartition(sf.col("bucket"))
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def ivf_topk_indexed(spark, path: str, query_vec: list[float], k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     n_bits: int = 8, probe_hamming: int = 1) -> DataFrame:
+    """Top-k probe against a :func:`write_ivf_index` materialization: the
+    ``bucket`` partition-column filter prunes at file-listing time (the scan
+    node shows it under ``PartitionFilters`` — locked by tests/test_plans.py),
+    so only the probed cells are read. Same results as :func:`ivf_topk` on
+    the same corpus/params."""
+    cells = probe_buckets(query_vec, n_bits, probe_hamming)
+    cell = spark.read.parquet(path).filter(sf.col("bucket").isin(cells))
     return cosine_topk(cell, query_vec, k, id_col, vec_col)
 
 

@@ -177,13 +177,16 @@ def run_pipeline(
     snapshot_id: str = "snap-0",
     max_payload_chars: int | None = None,
     schema: dict | None = None,
+    drop_confidence: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """End-to-end: read → salted extract → order → (optionally) write.
 
     Writes are idempotent overwrites; lineage rows are stamped with
     ``run_id``/``snapshot_id`` (FIXTURES.md §5) for the resume manifest.
     ``schema`` enables schema-guided extraction (US4) — see
-    :func:`run_extraction`.
+    :func:`run_extraction`. ``drop_confidence`` strips the
+    confidence_scores / low_confidence_fields columns from the result (P2 —
+    the reference's ``--confidence`` off path, cli/extract.py:130-137).
     """
     transcripts = read_transcripts(spark, input_path)
     # persist: the ordered write AND the lineage write both consume the
@@ -192,6 +195,10 @@ def run_pipeline(
                                       persist=bool(output_path),
                                       max_payload_chars=max_payload_chars,
                                       schema=schema)
+    if drop_confidence:
+        dropped = results.drop("confidence_scores", "low_confidence_fields")
+        dropped._extraction_cache = getattr(results, "_extraction_cache", None)
+        results = dropped
     ordered = with_stable_order(results)
     lineage = lineage.select(
         sf.lit(run_id).alias("run_id"),

@@ -98,3 +98,38 @@ def test_evaluate_command_self_comparison(spark, tiny_transcripts_path,
     payload = run_cli(capsys, "evaluate", "--predictions",
                       str(tmp_path / "pred"), "--golden", str(tmp_path / "pred"))
     assert payload["overall"]["accuracy"] == pytest.approx(1.0)
+
+
+def test_extract_no_confidence_strips_columns(spark, tiny_transcripts_path,
+                                              tmp_path, capsys):
+    """P2 parity: --no-confidence drops the two confidence columns from the
+    written output (reference cli/extract.py:130-137)."""
+    run_cli(capsys, "extract", "--input", tiny_transcripts_path,
+            "--output", str(tmp_path / "out"), "--no-confidence")
+    cols = spark.read.parquet(str(tmp_path / "out")).columns
+    assert "confidence_scores" not in cols
+    assert "low_confidence_fields" not in cols
+    assert "fields" in cols and "status" in cols
+
+
+def test_extract_one_command(capsys):
+    payload = run_cli(
+        capsys, "extract-one",
+        "--text", "NOTA CNPJ 11.222.333/0001-81 valor R$ 10,00")
+    assert payload["document_type"] == "invoice"
+    assert payload["status"] in ("success", "partial")
+    assert "confidence_scores" in payload
+
+
+def test_extract_one_no_confidence_and_file(tmp_path, capsys):
+    f = tmp_path / "p.txt"
+    f.write_text("RG 12.345.678-9 SSP-SP", encoding="utf-8")
+    payload = run_cli(capsys, "extract-one", "--file", str(f),
+                      "--no-confidence")
+    assert payload["document_type"] == "rg"
+    assert "confidence_scores" not in payload
+
+
+def test_extract_one_requires_exactly_one_source(capsys):
+    assert cli.main(["extract-one"]) == 2
+    assert cli.main(["extract-one", "--text", "x", "--file", "y"]) == 2

@@ -109,3 +109,91 @@ def test_lazy_package_api_exports():
     assert callable(b.run_pipeline) and callable(b.evaluate)
     with pytest.raises(AttributeError):
         b.not_a_symbol
+
+
+# ---------------------------------------------------------------------------
+# Single-record API contract — mirrors the reference's response contract
+# (tests/contract/test_api_responses.py:13-111) for extract_one.
+# ---------------------------------------------------------------------------
+
+INVOICE_PAYLOAD = ("NOTA FISCAL empresa ACME LTDA CNPJ 11.222.333/0001-81 "
+                   "valor R$ 1.234,56 data 01/02/2024")
+
+
+def _result(**kw):
+    from br_doc_ocr_spark.core.extract import extract_one
+
+    return extract_one(INVOICE_PAYLOAD, **kw)
+
+
+def test_extract_one_has_required_fields():
+    r = _result()
+    for field in ("document_type", "extracted_data", "processing_time_ms",
+                  "model_version", "status"):
+        assert field in r, field
+    assert r["document_type"] in ("cnh", "rg", "invoice", "unknown")
+    assert r["status"] in ("success", "partial", "failed")
+    assert isinstance(r["processing_time_ms"], int)
+    assert r["processing_time_ms"] >= 0
+    assert isinstance(r["extracted_data"], dict)
+
+
+def test_extract_one_confidence_optional_and_bounded():
+    r = _result(confidence=True)
+    assert isinstance(r["confidence_scores"], dict)
+    for score in r["confidence_scores"].values():
+        assert 0.0 <= score <= 1.0
+    stripped = _result(confidence=False)
+    assert "confidence_scores" not in stripped
+    assert "low_confidence_fields" not in stripped
+
+
+def test_extract_one_error_message_null_on_success():
+    r = _result()
+    assert r["status"] in ("success", "partial")
+    assert r["error_message"] is None
+
+
+def test_extract_one_document_type_from_fields():
+    r = _result()
+    assert r["document_type"] == "invoice"          # cnpj + valor present
+    from br_doc_ocr_spark.core.extract import extract_one
+
+    assert extract_one("RG 12.345.678-9 SSP-SP")["document_type"] == "rg"
+    assert extract_one("Categoria: AB")["document_type"] == "cnh"
+    assert extract_one("nothing here")["document_type"] == "unknown"
+
+
+def test_extract_one_document_type_hint_selects_builtin_schema():
+    from br_doc_ocr_spark.core.extract import extract_one
+
+    hinted = extract_one(INVOICE_PAYLOAD, document_type="rg")
+    assert hinted["document_type"] == "rg"
+    # the rg schema bounds the field set: invoice-only fields are filtered
+    assert "valor" not in hinted["extracted_data"]
+
+
+def test_extract_one_multi_document_is_list_of_results():
+    from br_doc_ocr_spark.core.extract import extract_one
+
+    two_docs = (INVOICE_PAYLOAD + " and more padding to reach segment size"
+                "\n---\n"
+                "RG 12.345.678-9 SSP-SP documento de identidade com texto")
+    out = extract_one(two_docs, multi_document=True)
+    assert isinstance(out, list) and len(out) == 2
+    for item in out:
+        for field in ("document_type", "extracted_data", "processing_time_ms",
+                      "model_version", "status"):
+            assert field in item, field
+    assert [r["document_type"] for r in out] == ["invoice", "rg"]
+
+
+def test_extract_one_matches_batch_kernel():
+    """Single-record and table answers must agree (same kernel)."""
+    from br_doc_ocr_spark.core.extract import extract_one, extract_turn
+
+    one = extract_one(INVOICE_PAYLOAD)
+    turn = extract_turn(INVOICE_PAYLOAD)
+    assert one["extracted_data"] == turn["fields"]
+    assert one["status"] == turn["status"]
+    assert one["confidence_scores"] == turn["confidence_scores"]

@@ -161,6 +161,56 @@ def test_ivf_topk_prunes_to_query_cell(vectors):
     assert {0, 1, 4} <= {r["vec_id"] for r in out.collect()}
 
 
+def test_ivf_indexed_matches_unindexed(spark, tmp_path):
+    """The materialized-index probe must return exactly what the on-the-fly
+    quantizer filter returns for the same corpus and params."""
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(emb, path, n_bits=4)
+    qv = [float(v) for v in emb.orderBy("vec_id").select("embedding").first()[0]]
+    live = similarity.ivf_topk(emb, qv, k=10, n_bits=4).collect()
+    idx = similarity.ivf_topk_indexed(spark, path, qv, k=10, n_bits=4).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in live] == \
+        [(r["vec_id"], r["cosine"]) for r in idx]
+    # recall vs the exact baseline stays over the multi-probe bar
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, qv, k=10).collect()}
+    got = {r["vec_id"] for r in idx}
+    assert len(got & exact) / 10 >= 0.7
+
+
+def test_knn_join_two_stage_matches_single_window(spark):
+    """The two-stage partial top-k must be result-identical to the naive
+    single-window form on a corpus spread over many partitions (strict
+    total order ⇒ partition-local top-k contains every global top-k row)."""
+    import random
+
+    from pyspark.sql import Window
+
+    random.seed(7)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(400)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").repartition(16)
+    queries = spark.createDataFrame(
+        rows[:5], "q_id long, embedding array<double>")
+    got = sorted(
+        (r["q_id"], r["rank"], r["vec_id"], r["cosine"])
+        for r in similarity.knn_join(queries, corpus, k=7).collect())
+    q = queries.select("q_id", sf.col("embedding").alias("qv"))
+    c = corpus.select("vec_id", sf.col("embedding").alias("cv"))
+    w = Window.partitionBy("q_id").orderBy(sf.desc("cosine"), sf.asc("vec_id"))
+    naive = (c.join(sf.broadcast(q))
+             .select("q_id", "vec_id",
+                     sf.round(similarity.cosine(sf.col("cv"), sf.col("qv")), 6)
+                     .alias("cosine"))
+             .withColumn("rank", sf.row_number().over(w))
+             .filter(sf.col("rank") <= 7))
+    want = sorted((r["q_id"], r["rank"], r["vec_id"], r["cosine"])
+                  for r in naive.collect())
+    assert got == want
+
+
 # --- textstats ---------------------------------------------------------------
 
 def test_token_count_and_punct(spark):

@@ -118,6 +118,46 @@ def test_minhash_signatures_use_codegen_partial_agg(spark):
     assert "array_min" not in plan
 
 
+def test_ivf_indexed_probe_prunes_partitions(spark, tmp_path):
+    """An ivf_topk_indexed probe must prune at file-listing time: the bucket
+    filter has to appear in the scan's PartitionFilters (NOT as a post-scan
+    Filter over a full read) — at 100 TB this is a ~3.5% read vs a full scan
+    per query."""
+    from br_doc_ocr_spark.ops import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(emb, path, n_bits=4)
+    qv = [float(v) for v in emb.select("embedding").first()[0]]
+    probe = similarity.ivf_topk_indexed(spark, path, qv, k=10, n_bits=4,
+                                        probe_hamming=1)
+    plan = plan_of(probe)
+    part_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "bucket" in part_line and "IN" in part_line.upper()
+    # pruned read touches exactly the 5 probed cells (home + 4 Hamming-1)
+    cells = similarity.probe_buckets(qv, n_bits=4, probe_hamming=1)
+    assert len(cells) == 5
+
+
+def test_knn_join_has_partial_window_group_limit(spark):
+    """knn_join's per-query top-k must be two-phase: a map-side Partial
+    WindowGroupLimit BEFORE the exchange (each scan partition cut to ≤ k rows
+    per query pre-shuffle) — without it, one task ranks the entire scored
+    corpus for a query (the r01 scale anti-pattern). The rank filter sits
+    directly over row_number so Catalyst's InferWindowGroupLimit fires; this
+    test locks that plan shape against refactors that break the rule."""
+    from br_doc_ocr_spark.ops import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.limit(3).select(sf.col("vec_id").alias("q_id"), "embedding")
+    out = similarity.knn_join(queries, emb, k=5)
+    plan = plan_of(out)
+    # the two WindowGroupLimit phases render as "row_number(), 5, Partial"
+    # (map-side, pre-exchange) and "row_number(), 5, Final"
+    assert "row_number(), 5, Partial" in plan, plan
+    assert "row_number(), 5, Final" in plan, plan
+
+
 def test_heap_scales_with_task_concurrency(spark, monkeypatch):
     """build_session sizes the JVM heap to task slots (~0.75 GiB/core, 8 GiB
     floor) — the 20M-turn ordered write OOMs a fixed 8g heap at local[32]
