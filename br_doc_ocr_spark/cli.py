@@ -178,6 +178,21 @@ def cmd_schemas(args) -> int:
     return 0
 
 
+def cmd_dataset(args) -> int:
+    """Training-dataset export: extraction results → conversation-format
+    JSONL splits (reference dataset adapter, services/dataset_adapter.py)."""
+    from br_doc_ocr_spark import dataset as ds
+
+    spark = _session(args)
+    results = spark.read.parquet(args.input)
+    types = args.types.split(",") if args.types else None
+    counts = ds.write_training_dataset(
+        results, args.output, types=types, train_ratio=args.train_ratio,
+        val_ratio=args.val_ratio, key_col=args.key_col)
+    print(json.dumps({"output": args.output, "splits": counts}))
+    return 0
+
+
 def cmd_synth(args) -> int:
     from br_doc_ocr_spark.synth import synth_to_parquet
 
@@ -254,6 +269,19 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("schemas", help="list or validate extraction schemas")
     p.add_argument("--validate", help="schema file/JSON to validate")
     p.set_defaults(func=cmd_schemas)
+
+    p = sub.add_parser("dataset",
+                       help="export conversation-format training dataset "
+                            "from extraction results")
+    p.add_argument("--input", required=True,
+                   help="extraction results parquet (needs a fields map)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--types", default=None,
+                   help="comma-separated document types to keep")
+    p.add_argument("--train-ratio", type=float, default=0.8)
+    p.add_argument("--val-ratio", type=float, default=0.1)
+    p.add_argument("--key-col", default="conv_id")
+    p.set_defaults(func=cmd_dataset)
 
     p = sub.add_parser("synth", help="generate synthetic transcripts")
     p.add_argument("--turns", type=int, required=True)

@@ -1016,6 +1016,49 @@ def q_dedup_minhash_lsh(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+@register(
+    "dataset_conversation",
+    """
+    WITH b AS (
+      SELECT doc_id, lang,
+        CASE doc_id % 3 WHEN 0 THEN 'invoice' WHEN 1 THEN 'rg'
+                        ELSE 'unknown' END AS document_type,
+        CASE doc_id % 3
+          WHEN 0 THEN '{' || chr(10) || '  "cnpj": "11.222.333/0001-81",'
+                   || chr(10) || '  "lang": "' || lang || '"' || chr(10) || '}'
+          WHEN 1 THEN '{' || chr(10) || '  "orgao_emissor": "SSP-SP"'
+                   || chr(10) || '}'
+          ELSE '{' || chr(10) || '  "lang": "' || lang || '"' || chr(10) || '}'
+        END AS expected_output
+      FROM documents WHERE doc_id < 300)
+    SELECT doc_id, document_type,
+           'Extract all relevant information from this ' || document_type
+             || ' document. Return the extracted data as a JSON object.'
+             AS user_msg,
+           expected_output
+    FROM b
+    """,
+    "M10 conversation-format training transform (transform_sample, "
+    "dataset_adapter.py:57-96): 3-message struct array + indent-2 JSON "
+    "expected_output, rendered as pure column expressions")
+def q_dataset_conversation(spark, sf_dir):
+    from br_doc_ocr_spark import dataset as ds
+
+    d = t(spark, sf_dir, "documents").filter(sf.col("doc_id") < 300)
+    fields = (
+        sf.when(sf.col("doc_id") % 3 == 0,
+                sf.create_map(sf.lit("cnpj"), sf.lit("11.222.333/0001-81"),
+                              sf.lit("lang"), sf.col("lang")))
+        .when(sf.col("doc_id") % 3 == 1,
+              sf.create_map(sf.lit("orgao_emissor"), sf.lit("SSP-SP")))
+        .otherwise(sf.create_map(sf.lit("lang"), sf.col("lang"))))
+    samples = ds.to_training_samples(d.select("doc_id", fields.alias("fields")))
+    return samples.select(
+        "doc_id", "document_type",
+        sf.element_at("messages", 2)["content"].alias("user_msg"),
+        "expected_output")
+
+
 def _simhash_oracle_sql() -> str:
     """DuckDB rendering of the full SimHash near-dup operator, value-exact
     against ops/dedup.py: md5 is the shared hash primitive (identical hex on

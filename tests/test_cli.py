@@ -133,3 +133,16 @@ def test_extract_one_no_confidence_and_file(tmp_path, capsys):
 def test_extract_one_requires_exactly_one_source(capsys):
     assert cli.main(["extract-one"]) == 2
     assert cli.main(["extract-one", "--text", "x", "--file", "y"]) == 2
+
+
+def test_dataset_command(spark, tiny_transcripts_path, tmp_path, capsys):
+    """extract → dataset export round-trip: the written splits cover every
+    extraction row and carry the conversation columns."""
+    run_cli(capsys, "extract", "--input", tiny_transcripts_path,
+            "--output", str(tmp_path / "res"))
+    payload = run_cli(capsys, "dataset", "--input", str(tmp_path / "res"),
+                      "--output", str(tmp_path / "td"))
+    assert sum(payload["splits"].values()) == 548
+    train = spark.read.json(str(tmp_path / "td") + "/train")
+    assert {"document_type", "expected_output", "messages_json"} <= \
+        set(train.columns)
