@@ -383,7 +383,9 @@ def flagship_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             sf.count("*").alias("n_turns"),
             sf.sum("n_fields").alias("total_fields"),
-            sf.avg(sf.length("extracted_text")).alias("avg_extracted_chars"),
+            # rounded so the golden-fixture DuckDB oracle compares stably
+            sf.round(sf.avg(sf.length("extracted_text")), 6)
+            .alias("avg_extracted_chars"),
         )
         .orderBy("status", "payload_kind")
     )

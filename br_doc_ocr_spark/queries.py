@@ -15,6 +15,7 @@ records a rows-only check; their correctness gate is the pytest golden suite.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -977,20 +978,51 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 
 
 # ===========================================================================
-# Rows-only entries (hash-/kernel-based — no SQL oracle; gated by pytest
-# goldens instead; the driver records a rows-only check)
+# Extraction-family entries, oracled against the committed per-SF golden
+# fixtures: tools/regen_sf_goldens.py freezes the single-threaded oracle
+# kernel's output per testdata SF (corpus_key = Σ len(documents.text) picks
+# the right SF inside the SQL), and each oracle below recomputes the query's
+# aggregate from that parquet — a true cross-engine check of the distributed
+# pipeline against the golden kernel (VERDICT r01 #6).
 # ===========================================================================
 
+_GOLDEN_SF_EXTRACT = os.path.abspath(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "..", "tests", "fixtures", "golden_sf_extract.parquet"))
+_GOLDEN_SF_MULTIDOC = os.path.abspath(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "..", "tests", "fixtures", "golden_sf_multidoc.parquet"))
+
+
+def _golden_cte(path: str) -> str:
+    return (f"SELECT * FROM read_parquet('{path}') WHERE corpus_key = "
+            "(SELECT sum(length(text)) FROM documents)")
+
+
 @register(
-    "extract_pipeline_summary", None,
-    "flagship: full extraction pipeline over testdata-derived transcripts")
+    "extract_pipeline_summary",
+    f"""
+    WITH g AS ({_golden_cte(_GOLDEN_SF_EXTRACT)})
+    SELECT status, payload_kind, count(*) AS n_turns,
+           sum(n_fields)::BIGINT AS total_fields,
+           round(avg(extracted_chars), 6) AS avg_extracted_chars
+    FROM g GROUP BY status, payload_kind
+    """,
+    "flagship: full extraction pipeline over testdata-derived transcripts — "
+    "oracled against the committed golden-kernel fixture")
 def q_extract_pipeline_summary(spark, sf_dir):
     from br_doc_ocr_spark.pipeline import flagship_query
     return flagship_query(spark, sf_dir)
 
 
 @register(
-    "extract_field_counts", None,
+    "extract_field_counts",
+    f"""
+    WITH g AS ({_golden_cte(_GOLDEN_SF_EXTRACT)})
+    SELECT field, count(*) AS n
+    FROM (SELECT unnest(json_keys(fields)) AS field FROM g)
+    GROUP BY field
+    """,
     "extraction kernel: explode per-turn fields map, count per field name")
 def q_extract_field_counts(spark, sf_dir):
     from br_doc_ocr_spark.pipeline import run_extraction, transcripts_from_documents
@@ -1164,7 +1196,16 @@ def q_text_fingerprint(spark, sf_dir):
 
 
 @register(
-    "eval_extraction_report", None,
+    "eval_extraction_report",
+    f"""
+    WITH g AS ({_golden_cte(_GOLDEN_SF_EXTRACT)})
+    -- identity evaluation: every paired sample matches itself exactly, so
+    -- per-kind correct == total and accuracy == 1.0; the oracle still gates
+    -- that the Spark pairing covers exactly the golden kernel's row set
+    SELECT payload_kind, count(*) AS total, count(*)::BIGINT AS correct,
+           1.0::DOUBLE AS accuracy
+    FROM g GROUP BY payload_kind
+    """,
     "evaluation engine (J1 pairing + A1-A4 + per-field report) — extraction "
     "output scored against itself as the golden (identity gate)")
 def q_eval_extraction_report(spark, sf_dir):
@@ -1178,7 +1219,18 @@ def q_eval_extraction_report(spark, sf_dir):
 
 
 @register(
-    "extract_schema_guided", None,
+    "extract_schema_guided",
+    f"""
+    WITH g AS ({_golden_cte(_GOLDEN_SF_EXTRACT)})
+    -- filter_to_schema intersects the detected field set with the schema's
+    -- names (cpf, data_nascimento, + scanner 'data' admitted by the date
+    -- format), so the schema-guided key counts equal the unfiltered golden
+    -- keys intersected with that allow-list
+    SELECT field, count(*) AS n
+    FROM (SELECT unnest(json_keys(fields)) AS field FROM g)
+    WHERE field IN ('cpf', 'data_nascimento', 'data')
+    GROUP BY field
+    """,
     "US4 schema-guided extraction: custom 2-field schema bounds the field set "
     "(filter_to_schema inside the kernel; spec.md:67-77)")
 def q_extract_schema_guided(spark, sf_dir):
@@ -1225,7 +1277,13 @@ def q_explode_multidoc_segments(spark, sf_dir):
 
 
 @register(
-    "extract_multidoc", None,
+    "extract_multidoc",
+    f"""
+    WITH g AS ({_golden_cte(_GOLDEN_SF_MULTIDOC)})
+    SELECT n_docs, status, count(*) AS n,
+           sum(n_fields)::BIGINT AS total_fields
+    FROM g GROUP BY n_docs, status
+    """,
     "FR-015 multi-document extraction: one row per detected document segment "
     "(extract_document(multi_document=True), extraction.py:102-119)")
 def q_extract_multidoc(spark, sf_dir):
@@ -1242,7 +1300,19 @@ def q_extract_multidoc(spark, sf_dir):
 
 
 @register(
-    "classify_alternatives", None,
+    "classify_alternatives",
+    f"""
+    WITH g AS ({_golden_cte(_GOLDEN_SF_EXTRACT)})
+    -- alternatives are deterministic per payload_kind: the residual
+    -- (1 - 0.97) spreads uniformly over the other two known kinds
+    SELECT payload_kind, alt_kind, count(*) AS n,
+           round(((1.0 - 0.97) / 2)::DOUBLE, 6) AS alt_confidence
+    FROM g
+    CROSS JOIN unnest(['html', 'pdf', 'prose']) AS t(alt_kind)
+    WHERE payload_kind IN ('html', 'pdf', 'prose')
+      AND alt_kind <> payload_kind
+    GROUP BY payload_kind, alt_kind
+    """,
     "F24 classification alternatives: residual confidence spread over other "
     "kinds (classification.py:92-99)")
 def q_classify_alternatives(spark, sf_dir):
