@@ -126,13 +126,12 @@ def run_resumable(
 
     # Idempotent per-bucket publish: dynamic partition overwrite replaces
     # exactly the buckets written here, leaving completed ones untouched.
-    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (ordered.write.mode("overwrite").partitionBy(BUCKET_COL)
-         .parquet(output_path))
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    # Scoped to THIS write via the writer option — mutating the session conf
+    # races concurrent writers sharing the session (ADVICE r01).
+    (ordered.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(BUCKET_COL)
+     .parquet(output_path))
 
     n_rows = 0
     try:

@@ -155,15 +155,26 @@ def scan_fields(
                 # 21-char token): re-classify the '-'-separated parts with
                 # adjusted offsets. Only reached when the WHOLE token failed,
                 # so formatted CPF/RG/CNPJ (which classify intact) never
-                # split here.
+                # split here. Recovery is restricted to '/'-formatted parts
+                # that also pass their validator (dates, '/'-formatted CNPJ
+                # fragments): inside an unclassifiable merged run a bare
+                # 11/14/44-digit part is usually a serial/id fragment
+                # ('12345678901-1'), and format-normalizing validators (CPF)
+                # would bless any digit run — so digit-only parts are not
+                # recovered at all (ADVICE r01). Known residual asymmetry:
+                # values whose OWN format contains '-' (formatted CPF/RG)
+                # never reassemble from a merged run, since the split
+                # consumes their separator.
                 token = m.group()
                 if "-" in token:
                     offset = 0
                     for part in token.split("-"):
-                        sub = classify(part) if part else None
+                        sub = classify(part) if part and "/" in part else None
                         if sub is not None:
-                            claimed.append((sub, start + offset,
-                                            start + offset + len(part)))
+                            normalize, is_valid = _FIELD_FNS[sub]
+                            if is_valid(str(normalize(part))):
+                                claimed.append((sub, start + offset,
+                                                start + offset + len(part)))
                         offset += len(part) + 1
                 continue
         claimed.append((name, start, end))

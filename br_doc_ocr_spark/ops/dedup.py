@@ -102,8 +102,13 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     higher-order lambdas are interpreted and profile ~10× slower here), and
     reduces with ``groupBy(id).min`` per seed: map-side partial aggregation
     means the shuffle carries one 8-byte min per (partition, id, seed), not
-    the shingles. Values are identical to :func:`minhash_signature`.
-    """
+    the shingles. Values are identical to :func:`minhash_signature` for any
+    document whose shingle array is non-empty; a NULL-text document (its
+    shingle array is null → explode emits nothing) is DROPPED here, where
+    :func:`minhash_signature` would return a null-element signature. Benign
+    for thresholded near-dup use — a shingle-less doc can't clear any
+    positive Jaccard threshold — but callers needing every id should
+    left-join signatures back onto the id set (ADVICE r01)."""
     sh = df.select(sf.col(id_col).alias("id"),
                    word_shingles(sf.col(text_col), n).alias("_sh"))
     exploded = sh.select(

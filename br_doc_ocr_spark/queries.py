@@ -372,21 +372,28 @@ def q_agg_rollup(spark, sf_dir):
     FROM orders GROUP BY o_orderpriority
     """,
     "distinct-count per group; Spark side also computes the HLL sketch "
-    "(approx_count_distinct) and asserts its documented error bound — the "
-    "sketch column itself is excluded from the hashed comparison by checking "
-    "it into a filter, not the output")
+    "(approx_count_distinct) and raises if it misses its documented error "
+    "bound — an explicit failure, not a silently dropped result row "
+    "(ADVICE r01); the sketch column is excluded from the hashed output")
 def q_agg_approx_distinct(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     agg = (o.groupBy("o_orderpriority")
            .agg(sf.countDistinct("o_custkey").alias("exact_customers"),
                 sf.approx_count_distinct("o_custkey", 0.02).alias("_approx"),
-                sf.count("*").alias("n_orders")))
-    # keep rows only if the sketch is within its documented rsd (sanity gate
-    # inside the query itself; at 2% rsd a 5-sigma miss would drop a row and
-    # fail the oracle's row-count check)
-    return (agg.filter(sf.abs(sf.col("_approx") - sf.col("exact_customers"))
-                       <= sf.col("exact_customers") * 0.1 + 10)
-            .select("o_orderpriority", "exact_customers", "n_orders"))
+                sf.count("*").alias("n_orders"))
+           .withColumn(
+               "_sketch_ok",
+               sf.abs(sf.col("_approx") - sf.col("exact_customers"))
+               <= sf.col("exact_customers") * 0.1 + 10))
+    # raise_error surfaces a sketch-accuracy miss as a loud query failure
+    # instead of an opaque oracle row-count mismatch
+    checked = agg.withColumn(
+        "exact_customers",
+        sf.when(sf.col("_sketch_ok"), sf.col("exact_customers"))
+        .otherwise(sf.raise_error(sf.concat(
+            sf.lit("approx_count_distinct out of bound for group "),
+            sf.col("o_orderpriority")))))
+    return checked.select("o_orderpriority", "exact_customers", "n_orders")
 
 
 # ===========================================================================

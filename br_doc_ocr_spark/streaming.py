@@ -143,24 +143,26 @@ def stream_extract_with_lineage(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark import StorageLevel
 
-        session = batch_df.sparkSession
-        prior = session.conf.get("spark.sql.sources.partitionOverwriteMode",
-                                 "static")
         batch_df.persist(StorageLevel.DISK_ONLY)
-        session.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
+            # per-WRITE dynamic overwrite (not the session conf): a
+            # concurrent query sharing the session must never observe a
+            # mutated global overwrite mode (ADVICE r01)
             (batch_df.withColumn("batch_seq", sf.lit(batch_id))
-             .write.mode("overwrite").partitionBy("batch_seq")
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_seq")
              .parquet(output_path))
             (batch_df.groupBy("status")
              .agg(sf.count("*").alias("row_count"),
                   sf.sum("n_fields").alias("field_count"))
              .withColumn("batch_seq", sf.lit(batch_id))
              .coalesce(1)
-             .write.mode("overwrite").partitionBy("batch_seq")
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_seq")
              .parquet(lineage_path))
         finally:
-            session.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
             batch_df.unpersist()
 
     writer = (results.writeStream.foreachBatch(write_batch)

@@ -176,3 +176,19 @@ def test_merged_hyphen_run_recovers_parts():
     f, _, _ = scan_fields("CPF 123.456.789-01 RG 12.345.678-9")
     assert f["cpf"] == "123.456.789-01"
     assert f["registro_geral"] == "12.345.678-9"
+
+
+def test_merged_run_recovery_limited_to_slash_formatted_parts():
+    """Recovery from '-'-merged runs only claims '/'-formatted,
+    validator-passing parts: an 11-digit serial fragment next to '-' is not
+    a CPF claim (ADVICE r01 — CPF's format-normalizing validator would bless
+    any digit run), while date ranges still recover, and calendar-invalid
+    date parts do not."""
+    from br_doc_ocr_spark.core.extract import scan_fields
+
+    f, s, _ = scan_fields("serial 12345678901-1 ok")
+    assert "cpf" not in f and s == []
+    f, _, _ = scan_fields("periodo 01/02/2020-05/02/2020")
+    assert f["data"] == "2020-02-01"
+    f, s, _ = scan_fields("periodo 99/99/2020-88/88/2020")
+    assert "data" not in f and s == []
