@@ -1377,8 +1377,25 @@ def q_text_langid(spark, sf_dir):
                  sf.count("*").alias("n")))
 
 
+_MM_IMAGE_GOLDEN = [
+    (320, 240, 1, 127.47), (320, 496, 1, 127.55), (320, 752, 1, 127.57),
+    (320, 1008, 1, 127.55), (479, 1024, 1, 127.52), (774, 1024, 1, 127.63),
+    (832, 240, 1, 127.47), (832, 496, 1, 127.4), (905, 1024, 1, 127.51),
+    (1024, 182, 1, 127.49), (1024, 325, 1, 127.61), (1024, 435, 1, 127.53),
+    (1024, 546, 1, 127.54), (1024, 556, 1, 127.46), (1024, 697, 1, 127.52),
+    (1024, 838, 1, 127.49),
+]
+
+
 @register(
-    "multimodal_image_features", None,
+    "multimodal_image_features",
+    # frozen deterministic golden: synth_media + FakeDecoder are seed-fixed
+    # and sf-independent, so the expected aggregate is a literal table —
+    # a drift in the decode/resize/feature plumbing breaks the hash match
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"({w}::INTEGER, {h}::INTEGER, {n}::BIGINT, {a}::DOUBLE)"
+                for w, h, n, a in _MM_IMAGE_GOLDEN)
+    + ") AS t(out_width, out_height, n, avg_intensity)",
     "multimodal: binary payload + typed metadata → decode(stub)/resize/"
     "feature-extract via Arrow kernel (preprocessing.py:66-126 analog)")
 def q_multimodal_image_features(spark, sf_dir):
@@ -1391,8 +1408,17 @@ def q_multimodal_image_features(spark, sf_dir):
             .orderBy("out_width", "out_height"))
 
 
+_MM_FRAMES_GOLDEN = [(0, 16), (10, 16), (20, 16), (30, 12), (40, 12),
+                     (50, 12), (60, 8), (70, 8), (80, 8), (90, 4),
+                     (100, 4), (110, 4)]
+
+
 @register(
-    "multimodal_video_frames", None,
+    "multimodal_video_frames",
+    # frozen deterministic golden (see multimodal_image_features)
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"({i}::INTEGER, {n}::BIGINT)" for i, n in _MM_FRAMES_GOLDEN)
+    + ") AS t(frame_idx, n)",
     "multimodal: video frame-sampling flatMap (1 row per sampled frame)")
 def q_multimodal_video_frames(spark, sf_dir):
     from br_doc_ocr_spark.ops import multimodal as mm
