@@ -30,8 +30,9 @@ BENCH_QUERIES = [
     "pricing_summary", "join_broadcast_agg", "join_multiway",
     "window_topk_per_group", "window_lag_gap", "explode_tokens",
     "fn_currency_parse", "fn_cnpj_normalize", "event_time_window",
-    "dedup_token_jaccard", "dedup_minhash_lsh", "text_quality",
-    "text_langid", "ann_cosine_topk", "ann_knn_join",
+    "dedup_token_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "text_quality", "text_langid", "text_fingerprint",
+    "dataset_conversation", "ann_cosine_topk", "ann_knn_join",
 ]
 
 

@@ -128,6 +128,13 @@ def jaccard(a: Column, b: Column) -> Column:
     return sf.when(union == 0, sf.lit(1.0)).otherwise(inter / union)
 
 
+def jaccard_counts(a: Column, b: Column) -> tuple[Column, Column]:
+    """(intersection size, union size) — the exact-integer jaccard core,
+    used where a float ratio would be hash-compared across engines."""
+    return (sf.size(sf.array_intersect(a, b)),
+            sf.size(sf.array_union(a, b)))
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.5) -> DataFrame:
@@ -209,16 +216,25 @@ def minhash_near_duplicates(
     num_hashes: int = 32,
     bands: int = 8,
 ) -> DataFrame:
-    """Scale path end-to-end: LSH candidates → exact Jaccard verify ≥ threshold."""
+    """Scale path end-to-end: LSH candidates → exact Jaccard verify ≥ threshold.
+
+    The threshold filter compares the UNROUNDED ratio (``n_common/n_union >=
+    threshold`` — IEEE-identical across engines since the counts are exact
+    ints), and the output carries the exact ``n_common``/``n_union`` counts
+    alongside the rounded display ratio, so the cross-engine oracle can
+    hash integers instead of floats."""
     cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
     sh = df.select(sf.col(id_col).alias("id"),
                    word_shingles(sf.col(text_col), n).alias("sh"))
+    inter, union = jaccard_counts(sf.col("sh_a"), sf.col("sh_b"))
     verified = (
         cands.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
         .select("id_a", "id_b",
-                sf.round(jaccard(sf.col("sh_a"), sf.col("sh_b")), 6).alias("jaccard"))
-        .filter(sf.col("jaccard") >= threshold)
+                inter.alias("n_common"), union.alias("n_union"))
+        .filter(sf.col("n_common") >= sf.col("n_union") * threshold)
+        .withColumn("jaccard",
+                    sf.round(sf.col("n_common") / sf.col("n_union"), 6))
     )
     return verified
 

@@ -1039,10 +1039,95 @@ def q_extract_field_counts(spark, sf_dir):
             .orderBy("field"))
 
 
+def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8) -> str:
+    """Full DuckDB rendering of the MinHash+LSH near-dup operator, value-
+    exact against ops/dedup.py: Spark's xxhash64 is reproduced bit-for-bit
+    in SQL (br_doc_ocr_spark/duckdb_xxh64.py — XXH64 over UTF-8 bytes for
+    shingle and band strings, the hashLong→hashInt chain for the 32 seed
+    permutations), shingling/banding/verification mirror word_shingles /
+    minhash_lsh_candidates / minhash_near_duplicates, and the output is the
+    exact-integer (n_common, n_union) pair so no float ever enters the
+    driver's value hash."""
+    from br_doc_ocr_spark import duckdb_xxh64 as X
+
+    rpb = num_hashes // bands
+    seed_ctes = X.seed_permutation_ctes("shx_out", ["doc_id"], "h0",
+                                        list(range(num_hashes)), "sp")
+    sig_list = ", ".join(f"min(p{i})" for i in range(num_hashes))
+    band_structs = ", ".join(
+        "{'band_idx': %d, 'band_str': %s}" % (
+            b, " || ',' || ".join(f"sig[{b * rpb + r + 1}]::VARCHAR"
+                                  for r in range(rpb)))
+        for b in range(bands))
+    shingle_hash = X.xxh64_string_ctes("shingle_rows", ["doc_id"],
+                                       "shingle", "h0", "shx")
+    band_hash = X.xxh64_string_ctes("band_rows",
+                                    ["doc_id", "band_idx"],
+                                    "band_str", "band_hash", "bhx")
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' zz mutation token' FROM documents
+      WHERE doc_id % 5 = 0
+    ),
+    toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS tokens
+      FROM corpus
+    ),
+    shingled AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(tokens) - 2 <= 0
+          THEN [array_to_string(tokens, ' ')]
+          ELSE list_transform(range(1, greatest(len(tokens) - 2, 1) + 1),
+                              i -> array_to_string(tokens[i:i+2], ' '))
+        END) AS sh
+      FROM toks
+    ),
+    shingle_rows AS (
+      SELECT doc_id, unnest(sh) AS shingle FROM shingled
+    ),
+    {shingle_hash},
+    {seed_ctes},
+    sigs AS (
+      SELECT doc_id, [{sig_list}] AS sig FROM sp_out GROUP BY doc_id
+    ),
+    bands0 AS (
+      SELECT doc_id, unnest([{band_structs}]) AS band FROM sigs
+    ),
+    band_rows AS (
+      SELECT doc_id, band.band_idx AS band_idx, band.band_str AS band_str
+      FROM bands0
+    ),
+    {band_hash},
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bhx_out l JOIN bhx_out r
+        ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(a.sh, b.sh)) AS n_common,
+             len(list_distinct(a.sh || b.sh)) AS n_union
+      FROM cand c
+      JOIN shingled a ON a.doc_id = c.id_a
+      JOIN shingled b ON b.doc_id = c.id_b
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS INTEGER) AS n_common,
+           CAST(n_union AS INTEGER) AS n_union
+    FROM verified WHERE n_common >= n_union * 0.5
+    """
+
+
 @register(
-    "dedup_minhash_lsh", None,
+    "dedup_minhash_lsh", _minhash_oracle_sql(),
     "MinHash+LSH near-dup pairs (shingle→minhash→band→bucket join) on the "
-    "mutated corpus; verified vs exact Jaccard in tests/test_ops.py")
+    "mutated corpus — value-level DuckDB oracle via a bit-exact SQL "
+    "rendering of Spark's xxhash64 (duckdb_xxh64.py); also verified vs "
+    "exact Jaccard in tests/test_ops.py")
 def q_dedup_minhash_lsh(spark, sf_dir):
     # t_wide: the unsplittable single-row-group scan would otherwise run the
     # shingle projection on one core (profiled 3.5s -> 1.0s at local[32])
@@ -1052,6 +1137,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         sf.concat(sf.col("text"), sf.lit(" zz mutation token")).alias("text"))
     corpus = d.select("doc_id", "text").unionByName(mutated)
     return (dedup.minhash_near_duplicates(corpus, threshold=0.5)
+            .select("id_a", "id_b", "n_common", "n_union")
             .orderBy("id_a", "id_b"))
 
 
