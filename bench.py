@@ -119,17 +119,22 @@ def main() -> None:
         # leg ran as one block, because a multi-minute host-steal window can
         # blanket one leg entirely; alternating low/high sessions and taking
         # the best per level exposes both legs to the same steal weather.
+        # 4 rounds; the SHORT (high-parallelism) leg takes 2 timed reps per
+        # session — a multi-minute steal burst inflates a 5 s run by a much
+        # larger factor than a 20 s run, so the short leg needs more samples
+        # to catch a clean window
+        rounds = 4
         runs_low: list[float] = []
         runs_hi: list[float] = []
-        for i in range(3):
+        for i in range(rounds):
             s_low = build_session(app_name="bench-lowpar", cpus=low_cpus)
             t, _, _ = _run_extraction(s_low, spath, reps=1)
             runs_low.append(round(t, 3))
             s_low.stop()
             s_hi = build_session(app_name="bench-hipar", cpus=hi_cpus)
-            t, _, _ = _run_extraction(s_hi, spath, reps=1)
-            runs_hi.append(round(t, 3))
-            if i < 2:
+            t, _, reps = _run_extraction(s_hi, spath, reps=2)
+            runs_hi.extend(reps)
+            if i < rounds - 1:
                 s_hi.stop()
             else:
                 spark = s_hi  # final spark.stop() below closes it
