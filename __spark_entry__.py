@@ -34,7 +34,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query; hash-/kernel-based operators
-    (MinHash/SimHash/fingerprint/extraction kernel) are intentionally absent —
-    the driver records rows-only checks and pytest goldens gate them."""
+    """DuckDB-runnable SQL per query — EVERY catalog entry has one: the
+    hash-based operators included (SimHash via the shared md5 primitive;
+    MinHash/LSH via a bit-exact SQL rendering of Spark's xxhash64 in
+    br_doc_ocr_spark/duckdb_xxh64.py; the extraction family via committed
+    per-SF golden-kernel fixtures)."""
     return _catalog.oracle_sql()
