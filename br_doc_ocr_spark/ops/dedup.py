@@ -347,3 +347,68 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
         .dropDuplicates(["id_a", "id_b"])
         .filter(sf.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Keeper resolution: near-dup pair lists are not actionable until clusters
+# are resolved — connected components + min-id keeper per component (the
+# standard pretraining-dedup final step; the reference's file_hash unique
+# key is the exact-dup special case of this).
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iterations: int = 25) -> DataFrame:
+    """(id, component) for every id appearing in ``pairs``, where component
+    is the SMALLEST id reachable through the pair graph — deterministic
+    cluster representatives.
+
+    Algorithm: min-label propagation with POINTER JUMPING — each iteration
+    (a) takes the min label over graph neighbors, then (b) replaces every
+    label by its label's label (path halving). Converges in O(log D)
+    iterations for diameter D (a bare neighbor-min needs O(D) — a 40-chain
+    would blow the iteration budget), each iteration two shuffles over the
+    (id, comp) pair set, never the documents. ``localCheckpoint`` per
+    iteration truncates the iterative plan lineage (on a cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` for
+    fault-tolerant truncation).
+
+    Raises RuntimeError if the budget is exhausted before the fixpoint —
+    a silent partial labeling would merge/split clusters undetectably.
+    """
+    edges = pairs.select(sf.col(id_a).alias("src"), sf.col(id_b).alias("dst"))
+    und = (edges.unionByName(edges.select(sf.col("dst").alias("src"),
+                                          sf.col("src").alias("dst")))
+           .distinct())
+    labels = (und.select(sf.col("src").alias("id")).distinct()
+              .withColumn("comp", sf.col("id"))).localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            und.join(labels.withColumnRenamed("id", "src"), "src")
+            .select(sf.col("dst").alias("id"), "comp"))
+        stepped = (labels.unionByName(neighbor_min)
+                   .groupBy("id").agg(sf.min("comp").alias("comp")))
+        # pointer jump: comp <- comp's comp (path halving)
+        reps = stepped.select(sf.col("id").alias("comp"),
+                              sf.col("comp").alias("comp2"))
+        jumped = (stepped.join(reps, "comp", "left")
+                  .select("id", sf.coalesce("comp2", "comp").alias("comp"))
+                  ).localCheckpoint()
+        changed = (jumped.join(labels.withColumnRenamed("comp", "old"), "id")
+                   .filter(sf.col("comp") != sf.col("old")).count())
+        labels = jumped
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} "
+        "iterations — raise max_iterations (graph diameter > 2^iterations)")
+
+
+def drop_near_duplicates(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per near-dup cluster (the min-id representative) plus
+    every row not mentioned in ``pairs`` — the end-to-end dedup sink."""
+    comps = connected_components(pairs)
+    losers = comps.filter(sf.col("id") != sf.col("comp")).select(
+        sf.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

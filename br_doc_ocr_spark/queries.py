@@ -1184,6 +1184,41 @@ def q_dataset_conversation(spark, sf_dir):
         "expected_output")
 
 
+@register(
+    "dedup_components",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 5 <> 4
+      UNION ALL
+      SELECT doc_id, doc_id + 10 FROM documents WHERE doc_id % 50 = 0
+    ),
+    und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    cc AS (
+      SELECT a AS id, a AS lab FROM und
+      UNION
+      SELECT u.b, cc.lab FROM cc JOIN und u ON u.a = cc.id
+    ),
+    comps AS (SELECT id, min(lab) AS comp FROM cc GROUP BY id)
+    SELECT comp, count(*) AS n_members, max(id) AS max_id
+    FROM comps GROUP BY comp
+    """,
+    "near-dup keeper resolution: connected components over a pair graph "
+    "(min-label propagation + pointer jumping on the Spark side, transitive "
+    "closure via recursive CTE on the oracle side) — chains of 5 docs with "
+    "periodic cross-links, deterministic min-id representatives")
+def q_dedup_components(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    chain = d.filter(sf.col("doc_id") % 5 != 4).select(
+        sf.col("doc_id").alias("id_a"), (sf.col("doc_id") + 1).alias("id_b"))
+    cross = d.filter(sf.col("doc_id") % 50 == 0).select(
+        sf.col("doc_id").alias("id_a"), (sf.col("doc_id") + 10).alias("id_b"))
+    comps = dedup.connected_components(chain.unionByName(cross))
+    return (comps.groupBy("comp")
+            .agg(sf.count("*").alias("n_members"),
+                 sf.max("id").alias("max_id"))
+            .orderBy("comp"))
+
+
 def _simhash_oracle_sql() -> str:
     """DuckDB rendering of the full SimHash near-dup operator, value-exact
     against ops/dedup.py: md5 is the shared hash primitive (identical hex on

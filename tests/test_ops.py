@@ -308,3 +308,37 @@ def test_stopword_counts_punctuation_adjacency_and_cjk(spark):
     assert out[0]["the_hits"] == 3 and out[0]["lang"] == "en"
     assert out[1]["zh_hits"] == 3 and out[1]["lang"] == "zh"
     assert out[2]["punct"] < 0.1  # only '!' is punctuation, not ã/ç/é
+
+
+def test_connected_components_labels_and_convergence(spark):
+    """Chain, triangle, isolated pair — every node labeled with its
+    component's min id; pointer jumping must converge on a 40-node chain
+    well inside the iteration budget (a bare neighbor-min would need 39)."""
+    pairs = ([(i, i + 1) for i in range(100, 140)]        # long chain
+             + [(1, 2), (2, 3), (3, 4)]                   # short chain
+             + [(20, 21), (21, 22), (20, 22)]             # triangle
+             + [(50, 51)])                                # pair
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["comp"]
+           for r in dedup.connected_components(df).collect()}
+    assert all(got[i] == 100 for i in range(100, 141))
+    assert all(got[i] == 1 for i in (1, 2, 3, 4))
+    assert all(got[i] == 20 for i in (20, 21, 22))
+    assert got[50] == got[51] == 50
+
+
+def test_drop_near_duplicates_keeps_min_and_untouched(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (6, 7)], "id_a long, id_b long")
+    kept = {r["doc_id"]
+            for r in dedup.drop_near_duplicates(docs, pairs).collect()}
+    assert kept == {0, 1, 2, 4, 6}  # 3,5 fold into 0; 7 into 6
+
+
+def test_connected_components_raises_on_budget_exhaustion(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(16)],
+                               "id_a long, id_b long")
+    with pytest.raises(RuntimeError):
+        dedup.connected_components(df, max_iterations=1)
