@@ -1529,6 +1529,25 @@ def q_multimodal_image_features(spark, sf_dir):
             .orderBy("out_width", "out_height"))
 
 
+@register(
+    "multimodal_audio_features",
+    # frozen deterministic golden (see multimodal_image_features)
+    "SELECT 16000::INTEGER AS n_samples, 16::BIGINT AS n, "
+    "0.57826::DOUBLE AS avg_rms, 7983.94::DOUBLE AS avg_zero_crossings",
+    "multimodal: audio payload → decode(stub)/RMS/zero-crossing/frame-energy "
+    "Arrow kernel")
+def q_multimodal_audio_features(spark, sf_dir):
+    from br_doc_ocr_spark.ops import multimodal as mm
+
+    feats = mm.audio_features(mm.synth_media(spark, n=48))
+    return (feats.groupBy("n_samples")
+            .agg(sf.count("*").alias("n"),
+                 sf.round(sf.avg("rms"), 6).alias("avg_rms"),
+                 sf.round(sf.avg("zero_crossings"), 2)
+                 .alias("avg_zero_crossings"))
+            .orderBy("n_samples"))
+
+
 _MM_FRAMES_GOLDEN = [(0, 16), (10, 16), (20, 16), (30, 12), (40, 12),
                      (50, 12), (60, 8), (70, 8), (80, 8), (90, 4),
                      (100, 4), (110, 4)]
