@@ -75,8 +75,10 @@ def cmd_extract_one(args) -> int:
         try:
             with open(args.file, encoding="utf-8") as f:
                 text = f.read()
-        except FileNotFoundError:
-            print(f"file not found: {args.file}", file=sys.stderr)
+        except (OSError, UnicodeDecodeError) as e:
+            # directories, permissions, non-UTF-8 — same clean exit path as
+            # a missing file, never a traceback
+            print(f"cannot read {args.file}: {e}", file=sys.stderr)
             return 2
     schema = None
     if args.schema:

@@ -446,11 +446,15 @@ def extract_one(
                 result["low_confidence_fields"] = r["low_confidence_fields"]
         except Exception as e:  # the API's 500-channel, shaped as a result
             result = {
-                "document_type": "unknown", "extracted_data": {},
+                "document_type": document_type or "unknown",
+                "extracted_data": {},
                 "payload_kind": "unknown", "extracted_text": "",
                 "status": "failed", "error_message": f"{type(e).__name__}: {e}",
                 "model_version": model_version,
             }
+            if confidence:  # keys present whenever requested — contract
+                result["confidence_scores"] = {}
+                result["low_confidence_fields"] = []
         result["processing_time_ms"] = int((_time.perf_counter() - t0) * 1000)
         return result
 

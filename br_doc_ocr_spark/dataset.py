@@ -36,21 +36,32 @@ USER_MESSAGE_SUFFIX = " document. Return the extracted data as a JSON object."
 
 
 def document_type_from_fields(fields: Column) -> Column:
-    """Field-presence document type (cnh > rg > invoice > unknown) — the
-    columnar twin of ``core.extract._document_type_of``."""
-    has = lambda k: sf.map_contains_key(fields, sf.lit(k))  # noqa: E731
-    return (
-        sf.when(has("categoria_habilitacao"), "cnh")
-        .when(has("rg") | has("orgao_emissor"), "rg")
-        .when(has("cnpj") | has("valor") | has("chave_acesso"), "invoice")
-        .otherwise("unknown")
-    )
+    """Field-presence document type — the columnar twin of
+    ``core.extract._document_type_of``, GENERATED from the same
+    ``_DOC_TYPE_HINTS`` table so the two decisions cannot drift."""
+    from functools import reduce
+
+    from br_doc_ocr_spark.core.extract import _DOC_TYPE_HINTS
+
+    expr = sf.lit("unknown")
+    for doc_type, hints in reversed(_DOC_TYPE_HINTS):
+        present = reduce(
+            lambda a, b: a | b,
+            (sf.map_contains_key(fields, sf.lit(k)) for k in sorted(hints)))
+        expr = sf.when(present, doc_type).otherwise(expr)
+    return expr
 
 
 def _json_escape(c: Column) -> Column:
-    # enough for the kernel's normalized field values (no control chars)
-    return sf.replace(sf.replace(c, sf.lit("\\"), sf.lit("\\\\")),
-                      sf.lit('"'), sf.lit('\\"'))
+    # JSON string escaping for the shorthand set json.dumps uses
+    # (backslash FIRST, then quote and the control shorthands); other
+    # sub-0x20 control characters are not produced by the kernel and are
+    # the one documented divergence from json.dumps (\\u00XX form)
+    out = sf.replace(c, sf.lit("\\"), sf.lit("\\\\"))
+    for raw, esc in (('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"),
+                     ("\t", "\\t"), ("\b", "\\b"), ("\f", "\\f")):
+        out = sf.replace(out, sf.lit(raw), sf.lit(esc))
+    return out
 
 
 def json_indent2(fields: Column) -> Column:
@@ -112,10 +123,13 @@ def split_dataset(df: DataFrame, train_ratio: float = 0.8,
     can re-derive it, samples never overlap or vanish (the two reference
     invariants, tests/unit/test_dataset.py:152-191), and membership is
     stable under re-runs and repartitioning (Bernoulli ``randomSplit`` is
-    neither)."""
-    r = sf.pmod(sf.xxhash64(sf.col(key_col)), sf.lit(100))
-    train_cut = int(round(train_ratio * 100))
-    val_cut = train_cut + int(round(val_ratio * 100))
+    neither). Cutoffs quantize at 10^-6 granularity, so sub-percent ratios
+    (train_ratio=0.004) produce a real split instead of silently rounding
+    to empty."""
+    mod = 1_000_000
+    r = sf.pmod(sf.xxhash64(sf.col(key_col)), sf.lit(mod))
+    train_cut = int(train_ratio * mod)
+    val_cut = train_cut + int(val_ratio * mod)
     return {
         "train": df.filter(r < train_cut),
         "val": df.filter((r >= train_cut) & (r < val_cut)),
@@ -127,17 +141,24 @@ def with_padded_ids(df: DataFrame, ids_col: str = "input_ids",
                     group_col: str | None = None, pad: int = 0) -> DataFrame:
     """Collate pad-to-max (M13, dataset_adapter.py:198-206): pad each token
     array to the max length of its batch group (``group_col``; the whole
-    frame when None) with ``pad``. One window max + a codegen'd
-    concat/array_repeat — no Python, and with a group column the window is
-    a bounded per-group aggregate, not a global sort."""
-    from pyspark.sql import Window
+    frame when None) with ``pad``. With a group column: one window max —
+    a bounded per-group aggregate. Without one: the global max is computed
+    as a scalar aggregate and broadcast back (NOT an unpartitioned window,
+    which would funnel every row into a single task)."""
+    size_col = sf.size(sf.col(ids_col))
+    if group_col:
+        from pyspark.sql import Window
 
-    w = Window.partitionBy(group_col) if group_col else Window.partitionBy()
-    maxlen = sf.max(sf.size(sf.col(ids_col))).over(w)
+        maxlen = sf.max(size_col).over(Window.partitionBy(group_col))
+        padded = sf.concat(
+            sf.col(ids_col), sf.array_repeat(sf.lit(pad), maxlen - size_col))
+        return df.withColumn(ids_col, padded)
+    max_df = df.agg(sf.max(size_col).alias("_maxlen"))
+    out = df.crossJoin(sf.broadcast(max_df))
     padded = sf.concat(
         sf.col(ids_col),
-        sf.array_repeat(sf.lit(pad), maxlen - sf.size(sf.col(ids_col))))
-    return df.withColumn(ids_col, padded)
+        sf.array_repeat(sf.lit(pad), sf.col("_maxlen") - size_col))
+    return out.withColumn(ids_col, padded).drop("_maxlen")
 
 
 def write_training_dataset(results: DataFrame, output_dir: str,
@@ -157,7 +178,10 @@ def write_training_dataset(results: DataFrame, output_dir: str,
         (part.select(key_col, "document_type", "expected_output",
                      sf.to_json(sf.col("messages")).alias("messages_json"))
          .write.mode("overwrite").json(path))
-        out[name] = part.sparkSession.read.json(path).count()
+        # explicit one-column schema: schema inference would re-read the
+        # whole split once just to discover columns we already know
+        out[name] = (part.sparkSession.read
+                     .schema("document_type string").json(path).count())
     return out
 
 
@@ -188,11 +212,14 @@ class MetricsCollector:
     def append_parquet(self, spark, path: str) -> None:
         """Durable sink: (run_id, step, name, value) rows, appended.
         Long-form so heterogeneous metric sets across steps need no schema
-        evolution; partitioned by run_id for pruned reads."""
+        evolution; partitioned by run_id for pruned reads. NUMERIC metrics
+        only (bools and strings are logged history, not table metrics —
+        ``save()`` preserves them; this sink documents the drop)."""
         rows = [(self.run_id, h["step"], k, float(v))
                 for h in self.history
                 for k, v in h.items()
-                if k != "step" and isinstance(v, (int, float))]
+                if k != "step" and isinstance(v, (int, float))
+                and not isinstance(v, bool)]
         df = spark.createDataFrame(
             rows, "run_id string, step int, name string, value double")
         df.write.mode("append").partitionBy("run_id").parquet(path)

@@ -145,7 +145,8 @@ def xxh64_string_ctes(input_cte: str, id_cols: list[str], str_expr: str,
     fmix = ",\n        ".join(_fmix_aliases("_t3", "_f"))
     return f"""
     {p}_b0 AS (
-      SELECT {ids}, {utf8_bytes_expr(str_expr)} AS _b FROM {input_cte}
+      SELECT {ids}, ({str_expr}) IS NULL AS _isnull,
+             {utf8_bytes_expr(str_expr)} AS _b FROM {input_cte}
     ),
     {p}_b1 AS (
       SELECT *, len(_b) AS _n, len(_b) // 32 AS _ns FROM {p}_b0
@@ -188,8 +189,13 @@ def xxh64_string_ctes(input_cte: str, id_cols: list[str], str_expr: str,
       FROM {p}_b6
     ),
     {p}_out AS (
-      SELECT {ids}, {_signed('_f5')} AS {out_col} FROM (
-        SELECT {ids},
+      -- Spark skips NULL children entirely: xxhash64(NULL) is the raw
+      -- seed 42, NOT the avalanched empty-input hash
+      SELECT {ids},
+             CASE WHEN _isnull THEN {SEED} ELSE {_signed('_f5')} END
+               AS {out_col}
+      FROM (
+        SELECT {ids}, _isnull,
         {fmix}
         FROM {p}_b7)
     )"""

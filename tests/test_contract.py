@@ -188,6 +188,20 @@ def test_extract_one_multi_document_is_list_of_results():
     assert [r["document_type"] for r in out] == ["invoice", "rg"]
 
 
+def test_extract_one_failure_keeps_contract_keys():
+    """The error channel must honor the same contract as success: requested
+    confidence keys present (empty), caller's document_type hint kept."""
+    from br_doc_ocr_spark.core.extract import extract_one
+
+    r = extract_one(12345, confidence=True)  # non-string → kernel raises
+    assert r["status"] == "failed" and r["error_message"]
+    assert r["confidence_scores"] == {}
+    assert r["low_confidence_fields"] == []
+    hinted = extract_one(12345, document_type="invoice", confidence=False)
+    assert hinted["document_type"] == "invoice"
+    assert "confidence_scores" not in hinted
+
+
 def test_extract_one_matches_batch_kernel():
     """Single-record and table answers must agree (same kernel)."""
     from br_doc_ocr_spark.core.extract import extract_one, extract_turn

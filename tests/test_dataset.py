@@ -41,6 +41,7 @@ def results(spark):
         (2, {"categoria_habilitacao": "AB"}),                      # cnh
         (3, {}),                                                   # unknown
         (4, {"nome": 'Jo\\ão "quoted"'}),                          # escaping
+        (5, {"nota": "line1\nline2\ttab\rret"}),                   # ctrl chars
     ]
     return spark.createDataFrame(rows, "conv_id long, fields map<string,string>")
 
@@ -52,7 +53,8 @@ def test_transform_matches_reference_model(results):
                                  "valor": "1234.56"}),
                             (2, {"categoria_habilitacao": "AB"}),
                             (3, {}),
-                            (4, {"nome": 'Jo\\ão "quoted"'})]:
+                            (4, {"nome": 'Jo\\ão "quoted"'}),
+                            (5, {"nota": "line1\nline2\ttab\rret"})]:
         row = got[conv_id]
         # key-sorted canonicalization: map storage order is an engine
         # internal, so the graft renders entries in key order (the reference
@@ -69,7 +71,8 @@ def test_transform_matches_reference_model(results):
 def test_transform_document_types(results):
     got = {r["conv_id"]: r["document_type"]
            for r in ds.to_training_samples(results).collect()}
-    assert got == {0: "invoice", 1: "rg", 2: "cnh", 3: "unknown", 4: "unknown"}
+    assert got == {0: "invoice", 1: "rg", 2: "cnh", 3: "unknown",
+                   4: "unknown", 5: "unknown"}
 
 
 def test_transform_conversation_shape(results):
@@ -101,6 +104,27 @@ def test_split_dataset_disjoint_and_complete(spark):
                                           key_col="conv_id").items()}
     first = {k: {r["conv_id"] for r in v.collect()} for k, v in splits.items()}
     assert again == first
+
+
+def test_split_dataset_sub_percent_ratio(spark):
+    """Ratios below 1% must still produce a populated split (the old
+    whole-percent quantization rounded them to permanently empty)."""
+    df = spark.range(10_000).select(sf.col("id").alias("conv_id"))
+    splits = ds.split_dataset(df, train_ratio=0.004, val_ratio=0.1,
+                              key_col="conv_id")
+    n_train = splits["train"].count()
+    assert 0 < n_train < 200
+    assert sum(v.count() for v in splits.values()) == 10_000
+
+
+def test_with_padded_ids_global_default_avoids_single_partition(spark):
+    df = spark.createDataFrame(
+        [(0, [1, 2]), (1, [3, 4, 5, 6]), (2, [7])],
+        "row long, input_ids array<int>").repartition(4)
+    out = {tuple(r["input_ids"]) for r in ds.with_padded_ids(df).collect()}
+    assert out == {(1, 2, 0, 0), (3, 4, 5, 6), (7, 0, 0, 0)}
+    plan = ds.with_padded_ids(df)._jdf.queryExecution().toString()
+    assert "Window" not in plan  # global path must not use an empty window
 
 
 def test_with_padded_ids_pads_to_group_max(spark):
@@ -141,7 +165,7 @@ def test_metrics_collector_parquet_sink(spark, tmp_path):
 def test_write_training_dataset_end_to_end(spark, results, tmp_path):
     counts = ds.write_training_dataset(results, str(tmp_path / "td"),
                                        key_col="conv_id")
-    assert sum(counts.values()) == 5
+    assert sum(counts.values()) == 6
     read_back = spark.read.json(str(tmp_path / "td") + "/train")
     assert {"conv_id", "document_type", "expected_output",
             "messages_json"} <= set(read_back.columns)

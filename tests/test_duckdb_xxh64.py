@@ -84,6 +84,7 @@ def hash_int(i: int, seed: int) -> int:
 
 
 STRINGS = [
+    None,                                           # Spark: NULL → seed 42
     "", "a", "ab", "abc", "abcd", "abcde",          # byte-tail shapes
     "12345678", "123456789",                        # 8-byte word boundary
     "0123456789ab", "0123456789abc",                # 8+4(+1)
@@ -107,7 +108,7 @@ def test_duckdb_string_hash_matches_python_model():
     sql = ("WITH " + X.xxh64_string_ctes("t", ["id"], "s", "h", "hx")
            + " SELECT id, h FROM hx_out ORDER BY id")
     got = dict(con.execute(sql).fetchall())
-    want = {i: _signed(xxh64(s.encode("utf-8"), 42))
+    want = {i: (42 if s is None else _signed(xxh64(s.encode("utf-8"), 42)))
             for i, s in enumerate(STRINGS)}
     assert got == want
 
@@ -160,6 +161,7 @@ def test_duckdb_matches_spark_xxhash64(spark):
                     sf.xxhash64("id").alias("h_long"),
                     sf.xxhash64("id", sf.lit(7)).alias("h_chain")).collect()}
     for i, s in enumerate(STRINGS):
-        assert sp[i][0] == _signed(xxh64(s.encode("utf-8"), 42)), s
+        want = 42 if s is None else _signed(xxh64(s.encode("utf-8"), 42))
+        assert sp[i][0] == want, s
         assert sp[i][1] == _signed(hash_long(i, 42))
         assert sp[i][2] == _signed(hash_int(7, hash_long(i, 42)))
