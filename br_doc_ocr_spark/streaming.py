@@ -59,6 +59,46 @@ def extract_stream(transcripts: DataFrame,
     return transcripts.mapInPandas(extract_batches, schema=OUTPUT_SCHEMA_DDL)
 
 
+def deduplicated_stream(transcripts: DataFrame,
+                        watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact-dedup on content: drop payloads whose ``xxhash64``
+    was already seen within the watermark horizon, BEFORE the kernel runs
+    (duplicate payloads are pure wasted kernel time downstream).
+
+    ``dropDuplicatesWithinWatermark`` is the scale-safe form — state is
+    bounded by the watermark window, where a plain streaming
+    ``dropDuplicates`` accumulates every key ever seen until the job OOMs.
+    Suppression works across micro-batches via the query checkpoint."""
+    return (transcripts
+            .withColumn("_content_hash", sf.xxhash64("text"))
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["_content_hash"])
+            .drop("_content_hash"))
+
+
+def stream_extract_deduplicated(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+    target_partitions: int | None = None,
+):
+    """readStream → watermarked content dedup → extraction kernel →
+    append parquet sink. The streaming twin of
+    ``dedup.drop_exact_duplicates`` + ``pipeline.run_pipeline``."""
+    deduped = deduplicated_stream(
+        read_transcript_stream(spark, input_path), watermark)
+    results = extract_stream(deduped, target_partitions=target_partitions)
+    writer = (results.writeStream.outputMode("append")
+              .option("checkpointLocation", checkpoint_path)
+              .format("parquet").option("path", output_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_extract(
     spark: SparkSession,
     input_path: str,

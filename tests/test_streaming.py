@@ -165,3 +165,31 @@ def test_stream_lineage_per_micro_batch(spark, stream_dirs, tmp_path):
     # PII-free by schema
     assert set(lin.columns) == {"status", "row_count", "field_count",
                                 "batch_seq"}
+
+
+def test_stream_dedup_suppresses_repeated_content_across_batches(spark,
+                                                                 stream_dirs):
+    """Watermarked streaming dedup: a payload repeated in a later landing
+    file (same content, fresh conv/turn ids) must reach the kernel exactly
+    once; distinct payloads all survive."""
+    base = make_transcripts_pandas(n_convs=6, mean_turns=4, seed=21,
+                                   skew_conv=False)
+    _write_batch(base, os.path.join(stream_dirs["in"], "b1.parquet"))
+    # second landing file: half duplicate content under new ids, half new
+    dup = base.head(len(base) // 2).copy()
+    dup["conv_id"] = dup["conv_id"] + "-re"
+    fresh = make_transcripts_pandas(n_convs=3, mean_turns=4, seed=22,
+                                    skew_conv=False)
+    import pandas as pd
+
+    _write_batch(pd.concat([dup, fresh], ignore_index=True),
+                 os.path.join(stream_dirs["in"], "b2.parquet"))
+
+    q = streaming.stream_extract_deduplicated(
+        spark, stream_dirs["in"], stream_dirs["out"], stream_dirs["ckpt"],
+        watermark="365 days")
+    q.awaitTermination()
+    out = spark.read.parquet(stream_dirs["out"]).toPandas()
+    n_distinct_payloads = len(set(base["text"]) | set(fresh["text"]))
+    assert len(out) == n_distinct_payloads
+    assert out["extracted_text"].notna().all()
