@@ -158,6 +158,17 @@ def test_knn_join_has_partial_window_group_limit(spark):
     assert "row_number(), 5, Final" in plan, plan
 
 
+def test_dataset_transform_is_shuffle_free(spark):
+    """to_training_samples must stay a pure projection — no Exchange, no
+    Python crossing — so the conversation transform runs at scan speed
+    over any corpus size."""
+    import re
+
+    plan = plan_of(REGISTRY["dataset_conversation"].fn(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
 def test_heap_scales_with_task_concurrency(spark, monkeypatch):
     """build_session sizes the JVM heap to task slots (~0.75 GiB/core, 8 GiB
     floor) — the 20M-turn ordered write OOMs a fixed 8g heap at local[32]
