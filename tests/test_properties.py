@@ -164,3 +164,43 @@ def test_classify_token_canonical_examples(token):
     from br_doc_ocr_spark.core.extract import _classify_token
 
     assert _classify_token(token) == _classify_reference(token)
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=600),
+    max_size=20))
+@settings(max_examples=60, deadline=None)
+def test_fingerprint_batch_equals_scalar_on_arbitrary_unicode(texts):
+    """The vectorized block-Horner kernel is value-identical to the scalar
+    spec for arbitrary unicode (incl. astral codepoints) and any length mix
+    around the 128-char block boundary."""
+    from br_doc_ocr_spark.ops import textstats
+
+    got = textstats._fingerprint_batch(texts)
+    want = [textstats._fingerprint_str(t) if isinstance(t, str) and t else 0
+            for t in texts]
+    assert got == want
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80),
+    min_size=1, max_size=8))
+@settings(max_examples=25, deadline=None)
+def test_duckdb_xxh64_equals_spec_on_arbitrary_unicode(texts):
+    """The generated DuckDB XXH64 SQL matches the pure-Python spec model on
+    arbitrary unicode strings (UTF-8 expansion, stripe/tail boundaries)."""
+    import duckdb
+
+    from br_doc_ocr_spark import duckdb_xxh64 as X
+    from tests.test_duckdb_xxh64 import _signed, xxh64
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+                + ") v(id, s)", list(texts))
+    sql = ("WITH " + X.xxh64_string_ctes("t", ["id"], "s", "h", "hx")
+           + " SELECT id, h FROM hx_out ORDER BY id")
+    got = dict(con.execute(sql).fetchall())
+    want = {i: _signed(xxh64(s.encode("utf-8"), 42))
+            for i, s in enumerate(texts)}
+    assert got == want
