@@ -124,7 +124,8 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
 
 
 def write_ivf_index(embeddings: DataFrame, path: str,
-                    vec_col: str = "embedding", n_bits: int = 8) -> None:
+                    vec_col: str = "embedding", n_bits: int = 8,
+                    files_per_cell: int = 1) -> None:
     """Materialize the IVF index: the corpus written as parquet partitioned
     by the quantizer cell (``bucket=<cell>/`` directories). A probe then
     reads ONLY its probed cells via partition pruning — at 100 TB this is
@@ -132,11 +133,26 @@ def write_ivf_index(embeddings: DataFrame, path: str,
     files (and cells are further splittable into many files each, so a hot
     cell still parallelizes). Write shuffle: one repartition by bucket so
     each cell is a few large files rather than every input task writing a
-    sliver into every cell (small-files problem at 1000 executors)."""
+    sliver into every cell (small-files problem at 1000 executors).
+
+    ``files_per_cell`` is the hot-cell dial: skewed corpora concentrate in
+    few quantizer cells, and with the default a hot cell is written (and
+    later scanned as) ONE task's file — raise it to salt the write shuffle
+    by a deterministic hash of the vector so each cell lands as N files,
+    restoring both write parallelism and probe-side split parallelism."""
     bucketed = embeddings.withColumn(
         "bucket", ivf_bucket(sf.col(vec_col).cast("array<double>"), n_bits))
-    (bucketed.repartition(sf.col("bucket"))
-     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+    if files_per_cell > 1:
+        # explicit partition count: files per cell = distinct shuffle
+        # partitions holding that cell, so the (bucket, salt) combos need
+        # at least their own partition count (2x headroom vs hash
+        # collisions) — the session default would collapse them
+        n_parts = 2 * (1 << n_bits) * files_per_cell
+        salt = sf.pmod(sf.hash(sf.col(vec_col)), sf.lit(files_per_cell))
+        out = bucketed.repartition(n_parts, sf.col("bucket"), salt)
+    else:
+        out = bucketed.repartition(sf.col("bucket"))
+    out.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
 def ivf_topk_indexed(spark, path: str, query_vec: list[float], k: int = 10,

@@ -342,3 +342,25 @@ def test_connected_components_raises_on_budget_exhaustion(spark):
                                "id_a long, id_b long")
     with pytest.raises(RuntimeError):
         dedup.connected_components(df, max_iterations=1)
+
+
+def test_write_ivf_index_files_per_cell_splits_hot_cells(spark, tmp_path):
+    """files_per_cell > 1 must salt a cell into multiple parquet files
+    (write + probe parallelism for skewed corpora) without changing probe
+    results."""
+    import glob
+
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p1, p3 = str(tmp_path / "one"), str(tmp_path / "three")
+    similarity.write_ivf_index(emb, p1, n_bits=2)
+    similarity.write_ivf_index(emb, p3, n_bits=2, files_per_cell=3)
+    cells = [d for d in glob.glob(p3 + "/bucket=*")]
+    assert cells
+    assert any(len(glob.glob(c + "/*.parquet")) > 1 for c in cells)
+    qv = [float(v) for v in emb.orderBy("vec_id").select("embedding").first()[0]]
+    r1 = similarity.ivf_topk_indexed(spark, p1, qv, k=10, n_bits=2).collect()
+    r3 = similarity.ivf_topk_indexed(spark, p3, qv, k=10, n_bits=2).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in r1] == \
+        [(r["vec_id"], r["cosine"]) for r in r3]
