@@ -34,6 +34,7 @@ __all__ = [
     "run_resumable",
     "extract_turn",
     "extract_one",
+    "classify_one",
     "oracle_extract",
     "load_schema",
     "evaluate",
@@ -47,6 +48,7 @@ _EXPORTS = {
     "run_resumable": ("br_doc_ocr_spark.checkpoint", "run_resumable"),
     "extract_turn": ("br_doc_ocr_spark.core.extract", "extract_turn"),
     "extract_one": ("br_doc_ocr_spark.core.extract", "extract_one"),
+    "classify_one": ("br_doc_ocr_spark.core.extract", "classify_one"),
     "oracle_extract": ("br_doc_ocr_spark.core.extract", "oracle_extract"),
     "load_schema": ("br_doc_ocr_spark.core.schemas", "load_schema"),
 }

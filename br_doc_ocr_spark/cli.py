@@ -124,7 +124,17 @@ def cmd_multidoc(args) -> int:
 
 
 def cmd_classify(args) -> int:
-    """Payload-kind classification summary (reference `classify` command)."""
+    """Payload-kind classification summary (reference `classify` command);
+    with --text, single-record classification (POST /classify analog,
+    kernel-direct, no Spark session)."""
+    if args.text is not None:
+        from br_doc_ocr_spark.core.extract import classify_one
+
+        print(json.dumps(classify_one(args.text), ensure_ascii=False))
+        return 0
+    if args.input is None:
+        print("one of --input / --text is required", file=sys.stderr)
+        return 2
     from pyspark.sql import functions as sf
 
     from br_doc_ocr_spark.pipeline import (
@@ -257,8 +267,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--salt", type=int, default=8)
     p.set_defaults(func=cmd_multidoc)
 
-    p = sub.add_parser("classify", help="payload-kind classification summary")
-    p.add_argument("--input", required=True)
+    p = sub.add_parser("classify", help="payload-kind classification summary "
+                                        "(or one record via --text)")
+    p.add_argument("--input")
+    p.add_argument("--text", help="classify a single payload (no Spark)")
     p.set_defaults(func=cmd_classify)
 
     p = sub.add_parser("evaluate", help="score predictions vs golden")

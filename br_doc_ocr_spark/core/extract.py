@@ -463,6 +463,41 @@ def extract_one(
     return one(text)
 
 
+def classify_one(text: str | None) -> dict[str, Any]:
+    """Single-record classification without extraction — the reference's
+    ``POST /classify`` (api/app.py:123-150) over the same deterministic
+    rules. Response mirrors ``ClassificationResult.to_dict``
+    (classification.py:26-41): document_type, confidence, alternatives,
+    processing_time_ms. Confidence/alternatives follow the batch
+    ``with_classification`` constants (deterministic stand-ins for the
+    model score): 0.97 for a typed document, residual spread over the
+    other known types; 'unknown' gets 0.0 and no alternatives."""
+    import time as _time
+
+    t0 = _time.perf_counter()
+    try:
+        kind, _ = textops.extract_main_content(text)
+        fields, _, _ = scan_fields(text or "")
+        doc_type = _document_type_of(fields)
+    except Exception:
+        kind, doc_type = "unknown", "unknown"
+    known = [dt for dt, _ in _DOC_TYPE_HINTS]
+    if doc_type in known:
+        confidence = 0.97
+        residual = round((1.0 - confidence) / (len(known) - 1), 6)
+        alternatives = [{"document_type": dt, "confidence": residual}
+                        for dt in known if dt != doc_type]
+    else:
+        confidence, alternatives = 0.0, []
+    return {
+        "document_type": doc_type,
+        "payload_kind": kind,
+        "confidence": confidence,
+        "alternatives": alternatives,
+        "processing_time_ms": int((_time.perf_counter() - t0) * 1000),
+    }
+
+
 def oracle_extract(transcripts: pd.DataFrame,
                    schema: dict[str, Any] | None = None) -> pd.DataFrame:
     """Single-threaded golden oracle: same kernel, whole table, stable order.

@@ -146,3 +146,14 @@ def test_dataset_command(spark, tiny_transcripts_path, tmp_path, capsys):
     train = spark.read.json(str(tmp_path / "td") + "/train")
     assert {"document_type", "expected_output", "messages_json"} <= \
         set(train.columns)
+
+
+def test_classify_text_single_record(capsys):
+    payload = run_cli(capsys, "classify",
+                      "--text", "NOTA CNPJ 11.222.333/0001-81 valor R$ 5,00")
+    assert payload["document_type"] == "invoice"
+    assert payload["confidence"] == 0.97
+
+
+def test_classify_requires_input_or_text(capsys):
+    assert cli.main(["classify"]) == 2

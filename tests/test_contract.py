@@ -211,3 +211,22 @@ def test_extract_one_matches_batch_kernel():
     assert one["extracted_data"] == turn["fields"]
     assert one["status"] == turn["status"]
     assert one["confidence_scores"] == turn["confidence_scores"]
+
+
+def test_classify_one_contract():
+    """Mirrors ClassificationResult.to_dict (classification.py:26-41):
+    document_type / confidence / alternatives / processing_time_ms, with
+    the residual-spread alternatives of the batch classifier."""
+    from br_doc_ocr_spark.core.extract import classify_one
+
+    r = classify_one(INVOICE_PAYLOAD)
+    assert r["document_type"] == "invoice"
+    assert r["confidence"] == 0.97
+    alt_types = {a["document_type"] for a in r["alternatives"]}
+    assert alt_types == {"cnh", "rg"}
+    assert all(a["confidence"] == 0.015 for a in r["alternatives"])
+    assert isinstance(r["processing_time_ms"], int)
+    unk = classify_one("nothing classifiable here")
+    assert unk["document_type"] == "unknown"
+    assert unk["confidence"] == 0.0 and unk["alternatives"] == []
+    assert classify_one(None)["document_type"] == "unknown"
