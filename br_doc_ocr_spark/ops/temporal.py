@@ -1,0 +1,88 @@
+"""Temporal joins Spark lacks as built-ins, composed from DataFrame ops
+(the task mandate's "custom operators" — as-of join, range join) — both
+single-shuffle, zero-Python formulations with native DuckDB cross-checks
+(`ASOF JOIN` / inequality join) in the query catalog.
+
+- :func:`asof_join` — attach to each left row the LATEST right row with
+  ``right.ts <= left.ts`` per key (backward-inclusive). Union the two
+  sides, window ``last(..., ignorenulls)`` over (ts, side) — ONE shuffle
+  keyed by the join key, no per-row Python, no non-equi join explosion.
+- :func:`range_join` — join points to containing ``[start, end]``
+  intervals via time-bucketing: intervals explode to their covered
+  buckets, points carry exactly one bucket, the equi-join on
+  (key, bucket) + a residual range filter yields each (point, interval)
+  pair exactly once (a point's single bucket meets an interval once) —
+  the standard scale rewrite of an inequality join that would otherwise
+  be a broadcast-nested-loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as sf
+
+
+def asof_join(left: DataFrame, right: DataFrame, time_col: str = "ts",
+              by: str = "user_id", value_cols: list[str] | None = None,
+              suffix: str = "_asof") -> DataFrame:
+    """Backward-inclusive as-of join: every left row gains the right row's
+    ``value_cols`` (suffixed) and matched timestamp ``{time_col}{suffix}``
+    from the latest right row with ``right.{time_col} <= left.{time_col}``
+    in the same ``by`` group; nulls when no prior right row exists.
+
+    Shuffle profile: one exchange of the UNION of both sides keyed by
+    ``by`` + a per-key ordered window — linear, vs the quadratic blowup of
+    expressing this as a non-equi join. Ties: a right row at exactly the
+    left timestamp matches (sorted before the left row); multiple right
+    rows sharing (key, ts) are caller-deduped (the catalog query
+    aggregates them first) — document per use.
+
+    Skew note: one window partition per key — salt or pre-aggregate
+    pathological hot keys exactly like the extraction job's conv salt.
+    """
+    from pyspark.sql import Window
+
+    value_cols = value_cols or []
+    rmap = {c: f"{c}{suffix}" for c in value_cols}
+    r = right.select(
+        sf.col(by), sf.col(time_col),
+        sf.lit(0).alias("_src"),
+        sf.col(time_col).alias(f"{time_col}{suffix}"),
+        *[sf.col(c).alias(rmap[c]) for c in value_cols])
+    l = left.withColumn("_src", sf.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (Window.partitionBy(by).orderBy(time_col, "_src")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = [sf.last(f"{time_col}{suffix}", ignorenulls=True).over(w)
+               .alias(f"{time_col}{suffix}")] + [
+        sf.last(rmap[c], ignorenulls=True).over(w).alias(rmap[c])
+        for c in value_cols]
+    filled = u.select(
+        *[c for c in u.columns
+          if c not in {f"{time_col}{suffix}", *rmap.values()}],
+        *carried)
+    return filled.filter(sf.col("_src") == 1).drop("_src")
+
+
+def range_join(points: DataFrame, intervals: DataFrame,
+               point_ts: str = "ts", start_col: str = "start",
+               end_col: str = "end", by: str = "user_id",
+               bucket_seconds: int = 3600) -> DataFrame:
+    """All (point, interval) pairs with ``start <= point_ts <= end`` per
+    ``by`` key. Intervals explode to their covered time buckets; each
+    point has exactly ONE bucket, so the (key, bucket) equi-join plus the
+    residual range filter emits every qualifying pair exactly once — no
+    dedup, no cartesian. Size ``bucket_seconds`` near the typical interval
+    length: candidates per point ≈ intervals overlapping its bucket.
+    """
+    p_bucket = sf.floor(sf.unix_timestamp(sf.col(point_ts))
+                        / sf.lit(bucket_seconds))
+    i_buckets = sf.sequence(
+        sf.floor(sf.unix_timestamp(sf.col(start_col)) / sf.lit(bucket_seconds)),
+        sf.floor(sf.unix_timestamp(sf.col(end_col)) / sf.lit(bucket_seconds)))
+    pts = points.withColumn("_bucket", p_bucket)
+    ivs = intervals.withColumn("_bucket", sf.explode(i_buckets))
+    joined = pts.join(ivs, [by, "_bucket"]).filter(
+        (sf.col(point_ts) >= sf.col(start_col))
+        & (sf.col(point_ts) <= sf.col(end_col)))
+    return joined.drop("_bucket")

@@ -1185,6 +1185,78 @@ def q_dataset_conversation(spark, sf_dir):
 
 
 @register(
+    "asof_join_purchases",
+    """
+    WITH l AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    r AS (SELECT user_id, ts, max(value) AS click_value FROM events
+          WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT l.user_id % 10 AS cohort,
+           count(*) AS n_purchases,
+           count(r.click_value) AS n_matched,
+           sum(CASE WHEN r.ts IS NOT NULL
+                    THEN epoch_us(l.ts) - epoch_us(r.ts)
+                    ELSE 0 END)::BIGINT AS total_gap_us,
+           round(sum(coalesce(r.click_value, 0)), 2) AS total_click_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    GROUP BY 1
+    """,
+    "as-of join (operator Spark lacks, built union+window single-shuffle): "
+    "each purchase attaches the latest prior click per user — verified "
+    "against DuckDB's NATIVE ASOF LEFT JOIN")
+def q_asof_join_purchases(spark, sf_dir):
+    from br_doc_ocr_spark.ops import temporal
+
+    ev = t(spark, sf_dir, "events")
+    left = ev.filter(sf.col("event_type") == "purchase").select("user_id", "ts")
+    right = (ev.filter(sf.col("event_type") == "click")
+             .groupBy("user_id", "ts")
+             .agg(sf.max("value").alias("click_value")))
+    joined = temporal.asof_join(left, right, value_cols=["click_value"])
+    matched = sf.col("click_value_asof").isNotNull()
+    # parquet reads ts as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
+    # gap is a difference, so the session-tz shift cancels exactly
+    us = lambda c: sf.unix_micros(sf.col(c).cast("timestamp"))  # noqa: E731
+    gap = sf.when(matched, us("ts") - us("ts_asof")).otherwise(sf.lit(0))
+    return (joined.groupBy((sf.col("user_id") % 10).alias("cohort"))
+            .agg(sf.count("*").alias("n_purchases"),
+                 sf.count("click_value_asof").alias("n_matched"),
+                 sf.sum(gap).alias("total_gap_us"),
+                 sf.round(sf.sum(sf.coalesce("click_value_asof", sf.lit(0.0))),
+                          2).alias("total_click_value")))
+
+
+@register(
+    "range_join_sessions",
+    """
+    WITH p AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'click'),
+    i AS (SELECT user_id, ts AS s, ts + INTERVAL 2 HOUR AS e FROM events
+          WHERE event_type = 'signup')
+    SELECT p.user_id % 10 AS cohort, count(*) AS n_matches,
+           round(sum(p.value), 2) AS total_value
+    FROM p JOIN i ON p.user_id = i.user_id AND p.ts >= i.s AND p.ts <= i.e
+    GROUP BY 1
+    """,
+    "range join via time-bucketing (clicks → containing 2h signup windows) "
+    "— the scale rewrite of an inequality join; oracle uses the plain "
+    "inequality join")
+def q_range_join_sessions(spark, sf_dir):
+    from br_doc_ocr_spark.ops import temporal
+
+    ev = t(spark, sf_dir, "events")
+    points = (ev.filter(sf.col("event_type") == "click")
+              .select("user_id", "ts", "value"))
+    intervals = (ev.filter(sf.col("event_type") == "signup")
+                 .select("user_id", sf.col("ts").alias("start"),
+                         (sf.col("ts") + sf.expr("INTERVAL 2 HOURS"))
+                         .alias("end")))
+    joined = temporal.range_join(points, intervals)
+    return (joined.groupBy((sf.col("user_id") % 10).alias("cohort"))
+            .agg(sf.count("*").alias("n_matches"),
+                 sf.round(sf.sum("value"), 2).alias("total_value")))
+
+
+@register(
     "dedup_components",
     """
     WITH RECURSIVE edges AS (

@@ -364,3 +364,80 @@ def test_write_ivf_index_files_per_cell_splits_hot_cells(spark, tmp_path):
     r3 = similarity.ivf_topk_indexed(spark, p3, qv, k=10, n_bits=2).collect()
     assert [(r["vec_id"], r["cosine"]) for r in r1] == \
         [(r["vec_id"], r["cosine"]) for r in r3]
+
+
+# --- temporal ----------------------------------------------------------------
+
+def test_asof_join_backward_inclusive(spark):
+    from br_doc_ocr_spark.ops import temporal
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 205, "p2"), (1, 300, "p3"), (2, 50, "p4")],
+        "user_id long, t long, tag string").select(
+        "user_id", sf.timestamp_seconds("t").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 200, 20.0), (1, 400, 40.0), (3, 10, 99.0)],
+        "user_id long, t long, v double").select(
+        "user_id", sf.timestamp_seconds("t").alias("ts"), "v")
+    out = {r["tag"]: (r["v_asof"],
+                      r["ts_asof"].timestamp() if r["ts_asof"] else None)
+           for r in temporal.asof_join(left, right,
+                                       value_cols=["v"]).collect()}
+    assert out["p1"] == (10.0, 100.0)   # equal ts matches (inclusive)
+    assert out["p2"] == (20.0, 200.0)   # latest prior, not the later 400
+    assert out["p3"] == (20.0, 200.0)
+    assert out["p4"] == (None, None)    # no right rows for user 2
+
+
+def test_asof_join_matches_duckdb_asof(spark):
+    """Cross-engine: the union+window formulation equals DuckDB's native
+    ASOF LEFT JOIN on a random corpus."""
+    import random
+
+    import duckdb
+
+    from br_doc_ocr_spark.ops import temporal
+
+    random.seed(11)
+    lrows = [(random.randrange(8), random.randrange(10_000))
+             for _ in range(300)]
+    rrows = {(random.randrange(8), random.randrange(10_000)): None
+             for _ in range(200)}
+    rrows = [(u, t, float(u * 100000 + t)) for (u, t) in rrows]
+    left = spark.createDataFrame(lrows, "user_id long, t long").select(
+        "user_id", sf.timestamp_seconds("t").alias("ts"))
+    right = spark.createDataFrame(rrows, "user_id long, t long, v double") \
+        .select("user_id", sf.timestamp_seconds("t").alias("ts"), "v")
+    got = sorted((r["user_id"], r["ts"].timestamp(), r["v_asof"])
+                 for r in temporal.asof_join(left, right,
+                                             value_cols=["v"]).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l AS SELECT * FROM (VALUES "
+                + ", ".join(f"({u}, to_timestamp({t}))" for u, t in lrows)
+                + ") v(user_id, ts)")
+    con.execute("CREATE TABLE r AS SELECT * FROM (VALUES "
+                + ", ".join(f"({u}, to_timestamp({t}), {v})"
+                            for u, t, v in rrows)
+                + ") v(user_id, ts, v)")
+    want = sorted((u, ts.timestamp(), v) for u, ts, v in con.execute(
+        "SELECT l.user_id, l.ts, r.v FROM l ASOF LEFT JOIN r "
+        "ON l.user_id = r.user_id AND l.ts >= r.ts").fetchall())
+    assert got == want
+
+
+def test_range_join_points_to_intervals(spark):
+    from br_doc_ocr_spark.ops import temporal
+
+    points = spark.createDataFrame(
+        [(1, 100, "a"), (1, 5000, "b"), (1, 9999, "c"), (2, 100, "d")],
+        "user_id long, t long, tag string").select(
+        "user_id", sf.timestamp_seconds("t").alias("ts"), "tag")
+    intervals = spark.createDataFrame(
+        [(1, 0, 6000, "i1"), (1, 4000, 12000, "i2"), (2, 500, 600, "i3")],
+        "user_id long, s long, e long, iv string").select(
+        "user_id", sf.timestamp_seconds("s").alias("start"),
+        sf.timestamp_seconds("e").alias("end"), "iv")
+    got = {(r["tag"], r["iv"])
+           for r in temporal.range_join(points, intervals,
+                                        bucket_seconds=1000).collect()}
+    assert got == {("a", "i1"), ("b", "i1"), ("b", "i2"), ("c", "i2")}
