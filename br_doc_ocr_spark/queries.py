@@ -1185,6 +1185,54 @@ def q_dataset_conversation(spark, sf_dir):
 
 
 @register(
+    "time_rollup_hypertable",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CASE WHEN GROUPING(hr) = 0
+                THEN strftime(hr, '%Y-%m-%d %H:%M:%S') END AS hour,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM (SELECT ts, date_trunc('hour', ts) AS hr, value FROM events)
+    GROUP BY GROUPING SETS ((day, hr), (day))
+    """,
+    "hypertable-style continuous-aggregate rollup: hourly + daily totals in "
+    "ONE pass via grouping sets (a single Expand, no second scan)")
+def q_time_rollup_hypertable(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        sf.date_format(sf.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        sf.date_trunc("hour", "ts").alias("hr"),
+        "value")
+    rolled = (ev.groupingSets([["day", "hr"], ["day"]], "day", "hr")
+              .agg(sf.count("*").alias("n"),
+                   sf.round(sf.sum("value"), 2).alias("total_value"),
+                   sf.grouping("hr").alias("_g_hr")))
+    return rolled.select(
+        "day",
+        sf.when(sf.col("_g_hr") == 0,
+                sf.date_format("hr", "yyyy-MM-dd HH:mm:ss")).alias("hour"),
+        "n", "total_value")
+
+
+@register(
+    "agg_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+    "exact linear-interpolated percentiles per group (Spark percentile ≡ "
+    "DuckDB quantile_cont); the approx path for 100 TB is "
+    "percentile_approx, sanity-gated like the HLL sketch")
+def q_agg_percentiles(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(*[sf.round(sf.percentile("value", sf.lit(p)), 6)
+                   .alias(f"p{int(p * 100)}")
+                   for p in (0.5, 0.9, 0.99)]))
+
+
+@register(
     "asof_join_purchases",
     """
     WITH l AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
