@@ -412,3 +412,15 @@ def drop_near_duplicates(df: DataFrame, pairs: DataFrame,
     losers = comps.filter(sf.col("id") != sf.col("comp")).select(
         sf.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def drop_minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 threshold: float = 0.5) -> DataFrame:
+    """End-to-end corpus dedup in one call: MinHash/LSH candidate pairs →
+    exact-Jaccard verify ≥ threshold → connected components → keep the
+    min-id representative per cluster (plus all untouched rows). The full
+    pretraining-dedup pipeline, every stage the bounded-shuffle scale path."""
+    pairs = minhash_near_duplicates(df, id_col=id_col, text_col=text_col,
+                                    threshold=threshold)
+    return drop_near_duplicates(df, pairs, id_col=id_col)

@@ -441,3 +441,11 @@ def test_range_join_points_to_intervals(spark):
            for r in temporal.range_join(points, intervals,
                                         bucket_seconds=1000).collect()}
     assert got == {("a", "i1"), ("b", "i1"), ("b", "i2"), ("c", "i2")}
+
+
+def test_drop_minhash_near_duplicates_end_to_end(docs):
+    """One-call pipeline: docs 0/1/3 form one near-dup cluster (exact dup +
+    one-word mutations) → only min-id 0 survives; 2 and 4 untouched."""
+    kept = {r["doc_id"]
+            for r in dedup.drop_minhash_near_duplicates(docs).collect()}
+    assert kept == {0, 2, 4}
