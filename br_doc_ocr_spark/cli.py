@@ -127,6 +127,9 @@ def cmd_classify(args) -> int:
     """Payload-kind classification summary (reference `classify` command);
     with --text, single-record classification (POST /classify analog,
     kernel-direct, no Spark session)."""
+    if args.text is not None and args.input is not None:
+        print("--input and --text are mutually exclusive", file=sys.stderr)
+        return 2
     if args.text is not None:
         from br_doc_ocr_spark.core.extract import classify_one
 

@@ -476,9 +476,11 @@ def classify_one(text: str | None) -> dict[str, Any]:
 
     t0 = _time.perf_counter()
     try:
-        kind, _ = textops.extract_main_content(text)
-        fields, _, _ = scan_fields(text or "")
-        doc_type = _document_type_of(fields)
+        # reuse the full per-turn pipeline — a separate classification code
+        # path would drift from batch extraction the first time the kernel
+        # changes its pre-scan handling
+        turn = extract_turn(text)
+        kind, doc_type = turn["payload_kind"], _document_type_of(turn["fields"])
     except Exception:
         kind, doc_type = "unknown", "unknown"
     known = [dt for dt, _ in _DOC_TYPE_HINTS]

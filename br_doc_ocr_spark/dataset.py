@@ -128,8 +128,10 @@ def split_dataset(df: DataFrame, train_ratio: float = 0.8,
     to empty."""
     mod = 1_000_000
     r = sf.pmod(sf.xxhash64(sf.col(key_col)), sf.lit(mod))
-    train_cut = int(train_ratio * mod)
-    val_cut = train_cut + int(val_ratio * mod)
+    # round, not truncate: int() alone misquantizes ~0.17% of exact
+    # 10^-6-granular ratios one bucket low (0.000498 → 497)
+    train_cut = int(round(train_ratio * mod))
+    val_cut = train_cut + int(round(val_ratio * mod))
     return {
         "train": df.filter(r < train_cut),
         "val": df.filter((r >= train_cut) & (r < val_cut)),

@@ -32,10 +32,16 @@ def asof_join(left: DataFrame, right: DataFrame, time_col: str = "ts",
 
     Shuffle profile: one exchange of the UNION of both sides keyed by
     ``by`` + a per-key ordered window — linear, vs the quadratic blowup of
-    expressing this as a non-equi join. Ties: a right row at exactly the
-    left timestamp matches (sorted before the left row); multiple right
-    rows sharing (key, ts) are caller-deduped (the catalog query
-    aggregates them first) — document per use.
+    expressing this as a non-equi join. The matched right row is carried as
+    ONE struct through ``last(..., ignorenulls)``, so a right row whose
+    value column is genuinely NULL still matches as itself (per-column
+    carries would skip past it to a stale older value — wrong row). Rows
+    with NULL key or NULL timestamp on the right are excluded up front
+    (``l.ts >= r.ts`` / key equality can never hold for them in the join
+    semantics this mirrors); NULL-key or NULL-ts left rows come back
+    unmatched. Ties: a right row at exactly the left timestamp matches
+    (sorted before the left row); multiple right rows sharing (key, ts)
+    are caller-deduped (the catalog query aggregates them first).
 
     Skew note: one window partition per key — salt or pre-aggregate
     pathological hot keys exactly like the extraction job's conv salt.
@@ -44,24 +50,32 @@ def asof_join(left: DataFrame, right: DataFrame, time_col: str = "ts",
 
     value_cols = value_cols or []
     rmap = {c: f"{c}{suffix}" for c in value_cols}
-    r = right.select(
-        sf.col(by), sf.col(time_col),
-        sf.lit(0).alias("_src"),
-        sf.col(time_col).alias(f"{time_col}{suffix}"),
-        *[sf.col(c).alias(rmap[c]) for c in value_cols])
+    reserved = {f"{time_col}{suffix}", *rmap.values(), "_src", "_carry"}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join output columns {sorted(clash)} already exist on the "
+            f"left frame — pass a different suffix")
+    r = right.filter(sf.col(by).isNotNull() & sf.col(time_col).isNotNull()) \
+        .select(
+            sf.col(by), sf.col(time_col),
+            sf.lit(0).alias("_src"),
+            sf.struct(
+                sf.col(time_col).alias(f"{time_col}{suffix}"),
+                *[sf.col(c).alias(rmap[c]) for c in value_cols],
+            ).alias("_carry"))
     l = left.withColumn("_src", sf.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
     w = (Window.partitionBy(by).orderBy(time_col, "_src")
          .rowsBetween(Window.unboundedPreceding, 0))
-    carried = [sf.last(f"{time_col}{suffix}", ignorenulls=True).over(w)
-               .alias(f"{time_col}{suffix}")] + [
-        sf.last(rmap[c], ignorenulls=True).over(w).alias(rmap[c])
-        for c in value_cols]
-    filled = u.select(
-        *[c for c in u.columns
-          if c not in {f"{time_col}{suffix}", *rmap.values()}],
-        *carried)
-    return filled.filter(sf.col("_src") == 1).drop("_src")
+    matched = sf.last("_carry", ignorenulls=True).over(w)
+    return (u.withColumn("_m", matched)
+            .filter(sf.col("_src") == 1)
+            .select(*left.columns,
+                    sf.col("_m")[f"{time_col}{suffix}"]
+                    .alias(f"{time_col}{suffix}"),
+                    *[sf.col("_m")[rmap[c]].alias(rmap[c])
+                      for c in value_cols]))
 
 
 def range_join(points: DataFrame, intervals: DataFrame,

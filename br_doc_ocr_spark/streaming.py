@@ -68,7 +68,14 @@ def deduplicated_stream(transcripts: DataFrame,
     ``dropDuplicatesWithinWatermark`` is the scale-safe form — state is
     bounded by the watermark window, where a plain streaming
     ``dropDuplicates`` accumulates every key ever seen until the job OOMs.
-    Suppression works across micro-batches via the query checkpoint."""
+    Suppression works across micro-batches via the query checkpoint.
+
+    TRADE-OFF (inherent to watermarked state): rows arriving with event
+    time older than the current watermark are dropped ENTIRELY — including
+    non-duplicates — exactly like any too-late row at a stateful operator.
+    Size ``watermark`` to at least the maximum expected landing lateness
+    (a backfill older than the horizon must go through the BATCH dedup
+    path, ``dedup.drop_exact_duplicates``, not this stream)."""
     return (transcripts
             .withColumn("_content_hash", sf.xxhash64("text"))
             .withWatermark("ts", watermark)

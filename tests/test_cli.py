@@ -157,3 +157,7 @@ def test_classify_text_single_record(capsys):
 
 def test_classify_requires_input_or_text(capsys):
     assert cli.main(["classify"]) == 2
+
+
+def test_classify_input_and_text_mutually_exclusive(capsys):
+    assert cli.main(["classify", "--input", "x.parquet", "--text", "y"]) == 2

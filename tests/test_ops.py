@@ -449,3 +449,29 @@ def test_drop_minhash_near_duplicates_end_to_end(docs):
     kept = {r["doc_id"]
             for r in dedup.drop_minhash_near_duplicates(docs).collect()}
     assert kept == {0, 2, 4}
+
+
+def test_asof_join_null_semantics(spark):
+    """(a) a matched right row with a NULL value column returns NULL (not a
+    stale older value); (b) NULL join keys never match; (c) NULL right
+    timestamps are excluded; (d) reserved-name collisions raise."""
+    from br_doc_ocr_spark.ops import temporal
+
+    left = spark.createDataFrame(
+        [(1, 300, "a"), (None, 200, "b"), (2, 100, "c")],
+        "user_id long, t long, tag string").select(
+        "user_id", sf.timestamp_seconds("t").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 200, None), (None, 100, 5.0), (2, None, 7.0)],
+        "user_id long, t long, v double").select(
+        "user_id", sf.timestamp_seconds("t").alias("ts"), "v")
+    out = {r["tag"]: (r["v_asof"],
+                      r["ts_asof"].timestamp() if r["ts_asof"] else None)
+           for r in temporal.asof_join(left, right,
+                                       value_cols=["v"]).collect()}
+    assert out["a"] == (None, 200.0)   # matched row IS the NULL-valued one
+    assert out["b"] == (None, None)    # NULL key never matches
+    assert out["c"] == (None, None)    # NULL right ts excluded
+    with pytest.raises(ValueError):
+        temporal.asof_join(left.withColumn("ts_asof", sf.lit(1)), right,
+                           value_cols=["v"])
