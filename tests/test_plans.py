@@ -169,6 +169,30 @@ def test_dataset_transform_is_shuffle_free(spark):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
 
 
+def test_asof_join_is_single_shuffle_no_nested_loop(spark):
+    """asof_join's scale claim: ONE exchange keyed by the join key, never a
+    BroadcastNestedLoopJoin/CartesianProduct (the non-equi-join blowup it
+    exists to avoid)."""
+    import re
+
+    plan = plan_of(REGISTRY["asof_join_purchases"].fn(spark, SF_DIR))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # exchanges: the union's user_id partitioning + the final agg; the join
+    # itself must not add a per-row comparison join operator
+    assert len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|"
+                          r"BroadcastHashJoin)", plan)) == 0
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """range_join must execute as a hash/merge EQUI-join on (key, bucket)
+    with the range residual as a join filter — not the BNLJ a plain
+    inequality join degrades to."""
+    plan = plan_of(REGISTRY["range_join_sessions"].fn(spark, SF_DIR))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
 def test_heap_scales_with_task_concurrency(spark, monkeypatch):
     """build_session sizes the JVM heap to task slots (~0.75 GiB/core, 8 GiB
     floor) — the 20M-turn ordered write OOMs a fixed 8g heap at local[32]
