@@ -210,3 +210,34 @@ def cosine_near_duplicates(embeddings: DataFrame, threshold: float = 0.9,
                     .alias("cosine"))
             .dropDuplicates(["id_a", "id_b"])
             .filter(sf.col("cosine") >= threshold))
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        scale_col: str = "q_scale",
+                        codes_col: str = "q_codes") -> DataFrame:
+    """Symmetric per-vector int8 quantization (4× storage cut for
+    float32 corpora; the standard embedding-store compression):
+    ``scale = max(|x|)/127``, ``code = clamp(floor(x/scale + 0.5), ±127)``.
+    Pure column expressions. floor(x+0.5) — NOT round() — so the tie rule
+    is explicit and identical across engines (round() half-up in Spark vs
+    half-even in DuckDB would break the value-level oracle on exact .5
+    codes). Zero vectors get scale 0 and all-zero codes."""
+    v = sf.col(vec_col).cast("array<double>")
+    scale = sf.array_max(sf.transform(v, lambda x: sf.abs(x))) / 127.0
+    code = lambda x: sf.greatest(  # noqa: E731
+        sf.least(sf.floor(x / sf.col(scale_col) + 0.5), sf.lit(127.0)),
+        sf.lit(-127.0)).cast("int")
+    return (df.withColumn(scale_col, scale)
+            .withColumn(codes_col,
+                        sf.when(sf.col(scale_col) == 0.0,
+                                sf.transform(v, lambda x: sf.lit(0)))
+                        .otherwise(sf.transform(v, code))))
+
+
+def dequantize_embeddings(df: DataFrame, scale_col: str = "q_scale",
+                          codes_col: str = "q_codes",
+                          out_col: str = "embedding_dq") -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: ``x ≈ code · scale``."""
+    return df.withColumn(
+        out_col, sf.transform(sf.col(codes_col),
+                              lambda c: c.cast("double") * sf.col(scale_col)))

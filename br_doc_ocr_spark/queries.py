@@ -1185,6 +1185,53 @@ def q_dataset_conversation(spark, sf_dir):
 
 
 @register(
+    "embedding_quantize_int8",
+    """
+    WITH q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+               / 127.0 AS scale
+      FROM embeddings),
+    c AS (
+      SELECT vec_id, v, scale,
+        CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+             ELSE list_transform(v, x ->
+               greatest(least(floor(x / scale + 0.5), 127), -127)::INTEGER)
+        END AS codes
+      FROM q),
+    r AS (
+      SELECT vec_id,
+             list_sum(codes) AS code_sum,
+             CASE WHEN scale = 0 THEN 1.0
+                  ELSE list_cosine_similarity(
+                         v, list_transform(codes, c -> c * scale))
+             END AS cos_rec
+      FROM c)
+    SELECT vec_id % 10 AS cohort, count(*) AS n,
+           sum(code_sum)::BIGINT AS total_codes,
+           round(avg(cos_rec), 6) AS avg_recon_cosine
+    FROM r GROUP BY 1
+    """,
+    "symmetric int8 embedding quantization (4× storage cut): exact code "
+    "sums cross-engine (floor(x+0.5) tie rule, NOT round — half-up vs "
+    "half-even would diverge) + reconstruction cosine")
+def q_embedding_quantize_int8(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    q = similarity.dequantize_embeddings(similarity.quantize_embeddings(emb))
+    v = sf.col("embedding").cast("array<double>")
+    cos_rec = sf.when(sf.col("q_scale") == 0.0, sf.lit(1.0)).otherwise(
+        similarity.cosine(v, sf.col("embedding_dq")))
+    code_sum = sf.aggregate(sf.col("q_codes"), sf.lit(0).cast("long"),
+                            lambda a, x: a + x)
+    return (q.select("vec_id", code_sum.alias("code_sum"),
+                     cos_rec.alias("cos_rec"))
+            .groupBy((sf.col("vec_id") % 10).alias("cohort"))
+            .agg(sf.count("*").alias("n"),
+                 sf.sum("code_sum").alias("total_codes"),
+                 sf.round(sf.avg("cos_rec"), 6).alias("avg_recon_cosine")))
+
+
+@register(
     "time_rollup_hypertable",
     """
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -475,3 +475,23 @@ def test_asof_join_null_semantics(spark):
     with pytest.raises(ValueError):
         temporal.asof_join(left.withColumn("ts_asof", sf.lit(1)), right,
                            value_cols=["v"])
+
+
+def test_quantize_dequantize_embeddings_bounds(spark):
+    """int8 round-trip: codes in [-127,127], reconstruction error per
+    component ≤ scale/2, zero vectors stable."""
+    rows = [(0, [0.5, -1.0, 0.25, 0.0]), (1, [0.0, 0.0, 0.0, 0.0]),
+            (2, [3.0, -2.0, 1.5, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = similarity.dequantize_embeddings(similarity.quantize_embeddings(df))
+    for r in q.collect():
+        orig = dict(rows)[r["vec_id"]]
+        assert all(-127 <= c <= 127 for c in r["q_codes"])
+        if all(v == 0.0 for v in orig):
+            assert r["q_scale"] == 0.0 and all(c == 0 for c in r["q_codes"])
+            continue
+        half = r["q_scale"] / 2 + 1e-12
+        for a, b in zip(orig, r["embedding_dq"]):
+            assert abs(a - b) <= half
+        assert max(abs(v) for v in orig) == pytest.approx(
+            r["q_scale"] * 127, rel=1e-9)
