@@ -28,11 +28,12 @@ N_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", str(int(2_000_000 * _SF)
 
 BENCH_QUERIES = [
     "pricing_summary", "join_broadcast_agg", "join_multiway",
-    "window_topk_per_group", "window_lag_gap", "explode_tokens",
-    "fn_currency_parse", "fn_cnpj_normalize", "event_time_window",
+    "window_topk_running", "window_lag_gap", "explode_digit_counts",
+    "fn_currency_parse", "fn_cnpj_date_normalize", "event_time_window",
     "dedup_token_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "text_quality", "text_langid", "text_fingerprint",
-    "dataset_conversation", "ann_cosine_topk", "ann_knn_join",
+    "dataset_conversation", "ann_topk", "ann_knn_join",
+    "ann_cosine_topk_int8",
 ]
 
 

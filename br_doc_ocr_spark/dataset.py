@@ -119,8 +119,9 @@ def split_dataset(df: DataFrame, train_ratio: float = 0.8,
                   val_ratio: float = 0.1,
                   key_col: str = "conv_id") -> dict[str, DataFrame]:
     """train/val/test split with EXACT recomputable membership: a row's split
-    is ``pmod(xxhash64(key), 100)`` against the ratio cutoffs — any engine
-    can re-derive it, samples never overlap or vanish (the two reference
+    is ``pmod(xxhash64(key), 1_000_000)`` against cutoffs of
+    ``round(ratio * 1e6)`` — any engine can re-derive it, samples never
+    overlap or vanish (the two reference
     invariants, tests/unit/test_dataset.py:152-191), and membership is
     stable under re-runs and repartitioning (Bernoulli ``randomSplit`` is
     neither). Cutoffs quantize at 10^-6 granularity, so sub-percent ratios

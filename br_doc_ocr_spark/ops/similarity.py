@@ -234,6 +234,46 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
                         .otherwise(sf.transform(v, code))))
 
 
+def cosine_topk_int8(embeddings: DataFrame, query_vec: list[float],
+                     k: int = 10, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Brute-force top-k over the int8 codes of :func:`quantize_embeddings` —
+    the quantized scan path: at 100 TB the probe reads the 4×-smaller codes
+    column instead of the float vectors.
+
+    Scoring is the code-space cosine ``dot(c, q) / (‖c‖·‖q‖)`` — the
+    per-vector scales cancel, so the score is built entirely from EXACT
+    integer dot products (|dot| ≤ dim·127² fits a double exactly, making the
+    ranking bit-identical across engines — the DuckDB oracle in queries.py
+    renders the same arithmetic). Zero vectors (scale 0 → all-zero codes)
+    score 0. Returns (id, int_dot, cosine_q rounded) ordered by the
+    unrounded code-space cosine with an id tie-break; executes as
+    TakeOrderedAndProject like :func:`cosine_topk`."""
+    import math
+
+    q_codes = [0] * len(query_vec)
+    q_scale = max(abs(x) for x in query_vec) / 127.0
+    if q_scale > 0.0:
+        q_codes = [int(max(min(math.floor(x / q_scale + 0.5), 127), -127))
+                   for x in query_vec]
+    ss_q = float(sum(c * c for c in q_codes))
+    qc = sf.array(*[sf.lit(c) for c in q_codes])
+    coded = quantize_embeddings(embeddings, vec_col=vec_col)
+    int_dot = sf.aggregate(
+        sf.zip_with(sf.col("q_codes"), qc, lambda x, y: (x * y).cast("long")),
+        sf.lit(0).cast("long"), lambda acc, x: acc + x)
+    ss_c = sf.aggregate(
+        sf.transform(sf.col("q_codes"), lambda x: (x * x).cast("long")),
+        sf.lit(0).cast("long"), lambda acc, x: acc + x).cast("double")
+    cos_q = sf.when(ss_c == 0.0, sf.lit(0.0)).otherwise(
+        int_dot / (sf.sqrt(ss_c) * sf.lit(math.sqrt(ss_q))))
+    scored = coded.select(sf.col(id_col), int_dot.alias("int_dot"),
+                          cos_q.alias("_cos"))
+    return (scored.orderBy(sf.desc("_cos"), sf.asc(id_col)).limit(k)
+            .select(id_col, "int_dot",
+                    sf.round(sf.col("_cos"), 6).alias("cosine_q")))
+
+
 def dequantize_embeddings(df: DataFrame, scale_col: str = "q_scale",
                           codes_col: str = "q_codes",
                           out_col: str = "embedding_dq") -> DataFrame:

@@ -50,7 +50,7 @@ def asof_join(left: DataFrame, right: DataFrame, time_col: str = "ts",
 
     value_cols = value_cols or []
     rmap = {c: f"{c}{suffix}" for c in value_cols}
-    reserved = {f"{time_col}{suffix}", *rmap.values(), "_src", "_carry"}
+    reserved = {f"{time_col}{suffix}", *rmap.values(), "_src", "_carry", "_m"}
     clash = reserved & set(left.columns)
     if clash:
         raise ValueError(

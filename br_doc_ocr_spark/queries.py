@@ -205,39 +205,36 @@ def q_join_multiway(spark, sf_dir):
 
 
 @register(
-    "join_semi",
+    "join_semi_anti",
     """
-    SELECT c_nationkey AS nationkey, count(*) AS n_active_customers
+    SELECT 'semi' AS op, cast(c_nationkey AS VARCHAR) AS key, count(*) AS n
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    GROUP BY 1
-    """,
-    "left-semi join (schema↔data alignment shape, J3)")
-def q_join_semi(spark, sf_dir):
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
-    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-            .groupBy(sf.col("c_nationkey").alias("nationkey"))
-            .agg(sf.count("*").alias("n_active_customers")))
-
-
-@register(
-    "join_anti",
-    """
-    SELECT c_mktsegment AS segment, count(*) AS n_inactive
+    GROUP BY 2
+    UNION ALL
+    SELECT 'anti' AS op, c_mktsegment AS key, count(*) AS n
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_totalprice > 150000)
-    GROUP BY 1
+    GROUP BY 2
     """,
-    "left-anti join (resume semantics: pending = input ANTI JOIN manifest)")
-def q_join_anti(spark, sf_dir):
+    "left-semi join (schema↔data alignment shape, J3) + left-anti join "
+    "(resume semantics: pending = input ANTI JOIN manifest) — tagged union "
+    "of the r02 join_semi + join_anti entries (driver 50-entry window)")
+def q_join_semi_anti(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders").filter(sf.col("o_totalprice") > 150000)
-    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-            .groupBy(sf.col("c_mktsegment").alias("segment"))
-            .agg(sf.count("*").alias("n_inactive")))
+    o = t(spark, sf_dir, "orders")
+    semi = (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .groupBy(sf.col("c_nationkey").cast("string").alias("key"))
+            .agg(sf.count("*").alias("n"))
+            .select(sf.lit("semi").alias("op"), "key", "n"))
+    o_big = o.filter(sf.col("o_totalprice") > 150000)
+    anti = (c.join(o_big, c.c_custkey == o_big.o_custkey, "left_anti")
+            .groupBy(sf.col("c_mktsegment").alias("key"))
+            .agg(sf.count("*").alias("n"))
+            .select(sf.lit("anti").alias("op"), "key", "n"))
+    return semi.unionByName(anti)
 
 
 @register(
@@ -267,41 +264,34 @@ def q_join_full_outer(spark, sf_dir):
 # ===========================================================================
 
 @register(
-    "window_topk_per_group",
+    "window_topk_running",
     """
-    SELECT o_custkey, o_orderkey, rank FROM (
+    SELECT o_custkey, o_orderkey, rank, running_total FROM (
       SELECT o_custkey, o_orderkey,
              row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW), 2)
+               AS running_total
       FROM orders) WHERE rank <= 2
     """,
-    "O4 per-group top-k via row_number (stable-ordering window, §2.5)")
-def q_window_topk(spark, sf_dir):
-    w = Window.partitionBy("o_custkey").orderBy(sf.desc("o_totalprice"),
-                                                sf.asc("o_orderkey"))
-    return (t(spark, sf_dir, "orders")
-            .withColumn("rank", sf.row_number().over(w))
-            .filter(sf.col("rank") <= 2)
-            .select("o_custkey", "o_orderkey", "rank"))
-
-
-@register(
-    "window_running_sum",
-    """
-    SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey), 2)
-             AS running_total
-    FROM orders
-    """,
-    "running aggregate over an ordered frame")
-def q_window_running(spark, sf_dir):
-    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    "O4 per-group top-k via row_number (stable-ordering window, §2.5) + "
+    "running aggregate over an ordered frame, two differently-ordered "
+    "windows over the same partition key — merged r02 window_topk_per_group "
+    "+ window_running_sum entries (driver 50-entry window)")
+def q_window_topk_running(spark, sf_dir):
+    w_rank = Window.partitionBy("o_custkey").orderBy(sf.desc("o_totalprice"),
+                                                     sf.asc("o_orderkey"))
+    w_run = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (t(spark, sf_dir, "orders")
             .select("o_custkey", "o_orderkey",
-                    sf.round(sf.sum("o_totalprice").over(w), 2)
-                    .alias("running_total")))
+                    sf.row_number().over(w_rank).alias("rank"),
+                    sf.round(sf.sum("o_totalprice").over(w_run), 2)
+                    .alias("running_total"))
+            .filter(sf.col("rank") <= 2))
 
 
 @register(
@@ -331,36 +321,74 @@ def q_window_lag_gap(spark, sf_dir):
 @register(
     "sort_report",
     """
-    SELECT event_type, round(avg(value), 6) AS avg_value, count(*) AS n
+    SELECT event_type, round(avg(value), 6) AS avg_value, count(*) AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
     FROM events GROUP BY event_type ORDER BY avg_value DESC, event_type
     """,
-    "O1 accuracy-report sort (evaluation.py:278-282)")
+    "O1 accuracy-report sort (evaluation.py:278-282) + exact linear-"
+    "interpolated percentiles per group (Spark percentile ≡ DuckDB "
+    "quantile_cont; the approx path for 100 TB is percentile_approx, "
+    "sanity-gated like the HLL sketch) — merged r02 sort_report + "
+    "agg_percentiles entries (driver 50-entry window), same grouping")
 def q_sort_report(spark, sf_dir):
     return (t(spark, sf_dir, "events").groupBy("event_type")
             .agg(sf.round(sf.avg("value"), 6).alias("avg_value"),
-                 sf.count("*").alias("n"))
+                 sf.count("*").alias("n"),
+                 *[sf.round(sf.percentile("value", sf.lit(p)), 6)
+                   .alias(f"p{int(p * 100)}")
+                   for p in (0.5, 0.9, 0.99)])
             .orderBy(sf.desc("avg_value"), sf.asc("event_type")))
 
 
 @register(
-    "agg_rollup",
+    "agg_rollup_time",
     """
-    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-           coalesce(l_linestatus, 'ALL') AS linestatus,
-           round(sum(l_extendedprice), 2) AS total_price,
-           count(*) AS n
+    SELECT 'lineitem_rollup' AS src,
+           coalesce(l_returnflag, 'ALL') AS k1,
+           coalesce(l_linestatus, 'ALL') AS k2,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS total
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'events_time_rollup' AS src,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS k1,
+           CASE WHEN GROUPING(hr) = 0
+                THEN strftime(hr, '%Y-%m-%d %H:%M:%S') END AS k2,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM (SELECT ts, date_trunc('hour', ts) AS hr, value FROM events)
+    GROUP BY GROUPING SETS ((k1, hr), (k1))
     """,
     "hierarchical subtotal rollup — beyond-reference (SURVEY §2.4 notes the "
-    "reference has no grouping sets); one pass, Expand + partial agg")
-def q_agg_rollup(spark, sf_dir):
+    "reference has no grouping sets), one pass Expand + partial agg — AND "
+    "hypertable-style continuous-aggregate time rollup (hourly + daily "
+    "totals in ONE pass via grouping sets): tagged union of the r02 "
+    "agg_rollup + time_rollup_hypertable entries (driver 50-entry window)")
+def q_agg_rollup_time(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
-    return (li.rollup("l_returnflag", "l_linestatus")
-            .agg(sf.round(sf.sum("l_extendedprice"), 2).alias("total_price"),
-                 sf.count("*").alias("n"))
-            .select(sf.coalesce("l_returnflag", sf.lit("ALL")).alias("returnflag"),
-                    sf.coalesce("l_linestatus", sf.lit("ALL")).alias("linestatus"),
-                    "total_price", "n"))
+    roll = (li.rollup("l_returnflag", "l_linestatus")
+            .agg(sf.count("*").alias("n"),
+                 sf.round(sf.sum("l_extendedprice"), 2).alias("total"))
+            .select(sf.lit("lineitem_rollup").alias("src"),
+                    sf.coalesce("l_returnflag", sf.lit("ALL")).alias("k1"),
+                    sf.coalesce("l_linestatus", sf.lit("ALL")).alias("k2"),
+                    "n", "total"))
+    ev = t(spark, sf_dir, "events").select(
+        sf.date_format(sf.date_trunc("day", "ts"), "yyyy-MM-dd").alias("k1"),
+        sf.date_trunc("hour", "ts").alias("hr"),
+        "value")
+    rolled = (ev.groupingSets([["k1", "hr"], ["k1"]], "k1", "hr")
+              .agg(sf.count("*").alias("n"),
+                   sf.round(sf.sum("value"), 2).alias("total"),
+                   sf.grouping("hr").alias("_g_hr")))
+    time_roll = rolled.select(
+        sf.lit("events_time_rollup").alias("src"),
+        "k1",
+        sf.when(sf.col("_g_hr") == 0,
+                sf.date_format("hr", "yyyy-MM-dd HH:mm:ss")).alias("k2"),
+        "n", "total")
+    return roll.unionByName(time_roll)
 
 
 @register(
@@ -401,46 +429,66 @@ def q_agg_approx_distinct(spark, sf_dir):
 # ===========================================================================
 
 @register(
-    "set_intersect",
+    "set_ops",
     """
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey FROM supplier
+    SELECT 'intersect' AS op, k FROM (
+      SELECT c_nationkey AS k FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, k FROM (
+      SELECT p_size AS k FROM part
+      EXCEPT
+      SELECT l_linenumber FROM lineitem)
     """,
-    "U2 intersection of key sets (evaluation.py:221)")
-def q_set_intersect(spark, sf_dir):
-    c = t(spark, sf_dir, "customer").select(sf.col("c_nationkey").alias("nationkey"))
-    s = t(spark, sf_dir, "supplier").select(sf.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s)
+    "U1-U3 set operations, tagged union of the r02 set_intersect + "
+    "set_except entries (merged so the whole catalog fits the driver's "
+    "50-entry CORRECTNESS window): key-set intersection (evaluation.py:221) "
+    "and set difference")
+def q_set_ops(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(sf.col("c_nationkey").alias("k"))
+    s = t(spark, sf_dir, "supplier").select(sf.col("s_nationkey").alias("k"))
+    inter = c.intersect(s).select(sf.lit("intersect").alias("op"), "k")
+    p = t(spark, sf_dir, "part").select(sf.col("p_size").alias("k"))
+    li = t(spark, sf_dir, "lineitem").select(sf.col("l_linenumber").alias("k"))
+    exc = p.subtract(li).select(sf.lit("except").alias("op"), "k")
+    return inter.unionByName(exc)
 
 
 @register(
-    "set_except",
+    "explode_digit_counts",
     """
-    SELECT p_size AS size FROM part
-    EXCEPT
-    SELECT l_linenumber FROM lineitem
+    SELECT 'token' AS op, token AS key, n FROM (
+      SELECT token, count(*) AS n FROM (
+        SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
+      GROUP BY token HAVING count(*) >= 5)
+    UNION ALL
+    SELECT 'digits' AS op, cast(n_digits AS VARCHAR) AS key, count(*) AS n
+    FROM (
+      SELECT length(regexp_replace(s, '[^0-9]', '', 'g')) AS n_digits
+      FROM (SELECT p_name || ' ' || cast(p_partkey AS VARCHAR) || ' x' ||
+                   cast(p_size AS VARCHAR) AS s FROM part))
+    GROUP BY n_digits
     """,
-    "U1/U3 set difference of key sets")
-def q_set_except(spark, sf_dir):
-    p = t(spark, sf_dir, "part").select(sf.col("p_size").alias("size"))
-    li = t(spark, sf_dir, "lineitem").select(sf.col("l_linenumber").alias("size"))
-    return p.subtract(li)
-
-
-@register(
-    "explode_tokens",
-    """
-    SELECT token, count(*) AS n FROM (
-      SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
-    GROUP BY token HAVING count(*) >= 5
-    """,
-    "M7 flatMap/explode 1→N + agg (multi-document explode shape)")
-def q_explode_tokens(spark, sf_dir):
-    return (t(spark, sf_dir, "part")
-            .select(sf.explode(sf.split("p_name", " ")).alias("token"))
+    "M7 flatMap/explode 1→N + agg (multi-document explode shape) AND "
+    "F12/F13 digit-count validation core (validate_cnpj / validate_nfe_key) "
+    "— tagged union of the r02 explode_tokens + fn_digit_validation entries "
+    "(merged for the driver's 50-entry window)")
+def q_explode_digit_counts(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    toks = (p.select(sf.explode(sf.split("p_name", " ")).alias("token"))
             .groupBy("token").agg(sf.count("*").alias("n"))
-            .filter(sf.col("n") >= 5))
+            .filter(sf.col("n") >= 5)
+            .select(sf.lit("token").alias("op"),
+                    sf.col("token").alias("key"), "n"))
+    s = sf.concat_ws(" ", sf.col("p_name"), sf.col("p_partkey").cast("string"),
+                     sf.concat(sf.lit("x"), sf.col("p_size").cast("string")))
+    digits = (p.select(sf.length(sf.regexp_replace(s, "[^0-9]", ""))
+                       .alias("n_digits"))
+              .groupBy("n_digits").agg(sf.count("*").alias("n"))
+              .select(sf.lit("digits").alias("op"),
+                      sf.col("n_digits").cast("string").alias("key"), "n"))
+    return toks.unionByName(digits)
 
 
 # ===========================================================================
@@ -448,23 +496,31 @@ def q_explode_tokens(spark, sf_dir):
 # ===========================================================================
 
 @register(
-    "fn_cnpj_normalize",
+    "fn_cnpj_date_normalize",
     """
     SELECT o_orderkey, cnpj,
            CASE WHEN regexp_matches(cnpj,
                   '^[0-9]{2}\\.[0-9]{3}\\.[0-9]{3}/[0-9]{4}-[0-9]{2}$')
-                THEN 1 ELSE 0 END AS is_valid
+                THEN 1 ELSE 0 END AS is_valid,
+           br_date,
+           substr(br_date,7,4) || '-' || substr(br_date,4,2) || '-' ||
+           substr(br_date,1,2) AS iso_date
     FROM (
       SELECT o_orderkey,
              substr(d,1,2) || '.' || substr(d,3,3) || '.' || substr(d,6,3) ||
-             '/' || substr(d,9,4) || '-' || substr(d,13,2) AS cnpj
+             '/' || substr(d,9,4) || '-' || substr(d,13,2) AS cnpj,
+             br_date
       FROM (SELECT o_orderkey,
                    lpad(cast(o_orderkey * 104729 % 100000000000000 AS VARCHAR),
-                        14, '0') AS d
+                        14, '0') AS d,
+                   strftime(o_orderdate, '%d/%m/%Y') AS br_date
             FROM orders))
     """,
-    "F4 normalize_cnpj as pure string ops (extraction.py:517-539)")
-def q_fn_cnpj_normalize(spark, sf_dir):
+    "F4 normalize_cnpj (extraction.py:517-539) + F2 normalize_date "
+    "DD/MM/YYYY → ISO (test_postprocessing.py:181-203), both as pure string "
+    "ops over the same rows — merged r02 fn_cnpj_normalize + "
+    "fn_date_normalize entries (driver 50-entry window)")
+def q_fn_cnpj_date_normalize(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     d = sf.lpad((sf.col("o_orderkey") * 104729 % 100000000000000).cast("string"),
                 14, "0")
@@ -473,27 +529,12 @@ def q_fn_cnpj_normalize(spark, sf_dir):
                         sf.substring(d, 6, 3), sf.lit("/"),
                         sf.substring(d, 9, 4), sf.lit("-"),
                         sf.substring(d, 13, 2))
+    br = sf.date_format("o_orderdate", "dd/MM/yyyy")
     return o.select(
         "o_orderkey", cnpj.alias("cnpj"),
         sf.when(cnpj.rlike(r"^[0-9]{2}\.[0-9]{3}\.[0-9]{3}/[0-9]{4}-[0-9]{2}$"), 1)
-          .otherwise(0).alias("is_valid"))
-
-
-@register(
-    "fn_date_normalize",
-    """
-    SELECT o_orderkey, br_date,
-           substr(br_date,7,4) || '-' || substr(br_date,4,2) || '-' ||
-           substr(br_date,1,2) AS iso_date
-    FROM (SELECT o_orderkey, strftime(o_orderdate, '%d/%m/%Y') AS br_date
-          FROM orders)
-    """,
-    "F2 normalize_date DD/MM/YYYY → ISO as string ops (test_postprocessing.py:181-203)")
-def q_fn_date_normalize(spark, sf_dir):
-    o = t(spark, sf_dir, "orders")
-    br = sf.date_format("o_orderdate", "dd/MM/yyyy")
-    return o.select(
-        "o_orderkey", br.alias("br_date"),
+          .otherwise(0).alias("is_valid"),
+        br.alias("br_date"),
         sf.concat_ws("-", sf.substring(br, 7, 4), sf.substring(br, 4, 2),
                      sf.substring(br, 1, 2)).alias("iso_date"))
 
@@ -528,24 +569,6 @@ def q_fn_currency_parse(spark, sf_dir):
             .groupBy("l_returnflag")
             .agg(sf.round(sf.sum("parsed"), 2).alias("total_parsed"),
                  sf.count("*").alias("n")))
-
-
-@register(
-    "fn_digit_validation",
-    """
-    SELECT n_digits, count(*) AS n FROM (
-      SELECT length(regexp_replace(s, '[^0-9]', '', 'g')) AS n_digits
-      FROM (SELECT p_name || ' ' || cast(p_partkey AS VARCHAR) || ' x' ||
-                   cast(p_size AS VARCHAR) AS s FROM part))
-    GROUP BY n_digits
-    """,
-    "F12/F13 digit-count validation core (validate_cnpj / validate_nfe_key)")
-def q_fn_digit_validation(spark, sf_dir):
-    p = t(spark, sf_dir, "part")
-    s = sf.concat_ws(" ", sf.col("p_name"), sf.col("p_partkey").cast("string"),
-                     sf.concat(sf.lit("x"), sf.col("p_size").cast("string")))
-    return (p.select(sf.length(sf.regexp_replace(s, "[^0-9]", "")).alias("n_digits"))
-            .groupBy("n_digits").agg(sf.count("*").alias("n")))
 
 
 @register(
@@ -586,17 +609,26 @@ def q_fn_invoice_totals(spark, sf_dir):
 @register(
     "fn_json_extract",
     """
-    SELECT event_type, round(avg(cast(json_extract_string(props, '$.k')
-                                      AS DOUBLE)), 6) AS avg_k
+    SELECT event_type,
+           round(avg(cast(json_extract_string(props, '$.k')
+                          AS DOUBLE)), 6) AS avg_k,
+           round(avg(coalesce(CASE WHEN value >= 100 THEN value END, 0.85)), 6)
+             AS avg_conf
     FROM events GROUP BY event_type
     """,
-    "F16 JSON payload parsing (parse_vlm_output analog) via from_json path")
+    "F16 JSON payload parsing (parse_vlm_output analog) + F22 confidence "
+    "placeholder: absent scores default 0.85 (extraction.py:185-192) — "
+    "merged r02 fn_json_extract + fn_confidence_placeholder entries "
+    "(driver 50-entry window); same grouping, one aggregate pass")
 def q_fn_json_extract(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
+    score = sf.when(sf.col("value") >= 100, sf.col("value"))
     return (ev.select("event_type",
-                      sf.get_json_object("props", "$.k").cast("double").alias("k"))
+                      sf.get_json_object("props", "$.k").cast("double").alias("k"),
+                      sf.coalesce(score, sf.lit(0.85)).alias("conf"))
             .groupBy("event_type")
-            .agg(sf.round(sf.avg("k"), 6).alias("avg_k")))
+            .agg(sf.round(sf.avg("k"), 6).alias("avg_k"),
+                 sf.round(sf.avg("conf"), 6).alias("avg_conf")))
 
 
 @register(
@@ -639,28 +671,6 @@ def q_event_time_window(spark, sf_dir):
 
 
 @register(
-    "low_confidence_flags",
-    """
-    -- string-joined (not ARRAY) so the driver's pandas canonicalization can
-    -- sort/hash the column (VERDICT r01 #2: list columns are unhashable there)
-    SELECT user_id,
-           list_aggr(list_sort(list(DISTINCT event_type)), 'string_agg', ',')
-             AS low_types FROM (
-      SELECT user_id, event_type, avg(value) AS avg_v
-      FROM events GROUP BY user_id, event_type HAVING avg(value) < 50)
-    GROUP BY user_id
-    """,
-    "P7/F17 flag_low_confidence shape: keys whose score < threshold → sorted list")
-def q_low_confidence_flags(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
-    low = (ev.groupBy("user_id", "event_type").agg(sf.avg("value").alias("avg_v"))
-           .filter(sf.col("avg_v") < 50))
-    return (low.groupBy("user_id")
-            .agg(sf.array_join(sf.array_sort(sf.collect_set("event_type")), ",")
-                 .alias("low_types")))
-
-
-@register(
     "projection_null_init",
     """
     SELECT doc_id,
@@ -678,24 +688,6 @@ def q_projection_null_init(spark, sf_dir):
         sf.lit(None).cast("string").alias("nome_completo"),
         sf.lit(None).cast("string").alias("cpf"),
         sf.lit(None).cast("double").alias("valor_total"))
-
-
-@register(
-    "fn_confidence_placeholder",
-    """
-    SELECT event_type,
-           round(avg(coalesce(CASE WHEN value >= 100 THEN value END, 0.85)), 6)
-             AS avg_conf
-    FROM events GROUP BY event_type
-    """,
-    "F22 confidence placeholder: absent scores default 0.85 "
-    "(extraction.py:185-192) — coalesce over a nullable score")
-def q_fn_confidence_placeholder(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
-    score = sf.when(sf.col("value") >= 100, sf.col("value"))
-    return (ev.groupBy("event_type")
-            .agg(sf.round(sf.avg(sf.coalesce(score, sf.lit(0.85))), 6)
-                 .alias("avg_conf")))
 
 
 @register(
@@ -730,29 +722,45 @@ def q_fn_state_extraction(spark, sf_dir):
 
 
 @register(
-    "eval_set_prf",
+    "eval_prf_flags",
     """
-    SELECT user_id,
-           round(len(list_intersect(pred, actual))::DOUBLE
-                 / greatest(len(pred), 1), 6) AS precision,
-           round(len(list_intersect(pred, actual))::DOUBLE
-                 / greatest(len(actual), 1), 6) AS recall
-    FROM (
-      -- coalesce to []: a user with ZERO qualifying rows gets NULL from
-      -- list(...) FILTER while Spark's collect_set gives [] (precision 0.0,
-      -- not NULL) — latent divergence until such a user exists in the data
+    WITH prf AS (
       SELECT user_id,
-             coalesce(list_sort(list(DISTINCT CASE WHEN value >= 50
-                                     THEN event_type END
-                            ) FILTER (value >= 50)), []) AS pred,
-             coalesce(list_sort(list(DISTINCT CASE WHEN event_id % 2 = 0
-                                     THEN event_type
-                            END) FILTER (event_id % 2 = 0)), []) AS actual
-      FROM events GROUP BY user_id)
+             round(len(list_intersect(pred, actual))::DOUBLE
+                   / greatest(len(pred), 1), 6) AS precision,
+             round(len(list_intersect(pred, actual))::DOUBLE
+                   / greatest(len(actual), 1), 6) AS recall
+      FROM (
+        -- coalesce to []: a user with ZERO qualifying rows gets NULL from
+        -- list(...) FILTER while Spark's collect_set gives [] (precision 0.0,
+        -- not NULL) — latent divergence until such a user exists in the data
+        SELECT user_id,
+               coalesce(list_sort(list(DISTINCT CASE WHEN value >= 50
+                                       THEN event_type END
+                              ) FILTER (value >= 50)), []) AS pred,
+               coalesce(list_sort(list(DISTINCT CASE WHEN event_id % 2 = 0
+                                       THEN event_type
+                              END) FILTER (event_id % 2 = 0)), []) AS actual
+        FROM events GROUP BY user_id)),
+    -- string-joined (not ARRAY) so the driver's pandas canonicalization can
+    -- sort/hash the column (VERDICT r01 #2: list columns are unhashable there)
+    flags AS (
+      SELECT user_id,
+             list_aggr(list_sort(list(DISTINCT event_type)), 'string_agg', ',')
+               AS low_types FROM (
+        SELECT user_id, event_type, avg(value) AS avg_v
+        FROM events GROUP BY user_id, event_type HAVING avg(value) < 50)
+      GROUP BY user_id)
+    SELECT prf.user_id, precision, recall,
+           coalesce(low_types, '') AS low_types
+    FROM prf LEFT JOIN flags ON prf.user_id = flags.user_id
     """,
-    "A4 precision/recall over field-name sets (evaluation.py:202-236): "
-    "TP = |pred ∩ actual| with per-side denominators")
-def q_eval_set_prf(spark, sf_dir):
+    "A4 precision/recall over field-name sets (evaluation.py:202-236, "
+    "TP = |pred ∩ actual| with per-side denominators) + P7/F17 "
+    "flag_low_confidence (keys whose score < threshold → sorted joined "
+    "list) — merged r02 eval_set_prf + low_confidence_flags entries "
+    "(driver 50-entry window), left-joined per user")
+def q_eval_prf_flags(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     agg = ev.groupBy("user_id").agg(
         sf.array_sort(sf.collect_set(
@@ -761,10 +769,18 @@ def q_eval_set_prf(spark, sf_dir):
             sf.when(sf.col("event_id") % 2 == 0, sf.col("event_type")))).alias("actual"),
     )
     inter = sf.size(sf.array_intersect("pred", "actual"))
-    return agg.select(
+    prf = agg.select(
         "user_id",
         sf.round(inter / sf.greatest(sf.size("pred"), sf.lit(1)), 6).alias("precision"),
         sf.round(inter / sf.greatest(sf.size("actual"), sf.lit(1)), 6).alias("recall"))
+    low = (ev.groupBy("user_id", "event_type").agg(sf.avg("value").alias("avg_v"))
+           .filter(sf.col("avg_v") < 50))
+    flags = (low.groupBy("user_id")
+             .agg(sf.array_join(sf.array_sort(sf.collect_set("event_type")), ",")
+                  .alias("low_types")))
+    return (prf.join(flags, "user_id", "left")
+            .select("user_id", "precision", "recall",
+                    sf.coalesce("low_types", sf.lit("")).alias("low_types")))
 
 
 # ===========================================================================
@@ -892,48 +908,120 @@ def _query_vector(spark, sf_dir) -> list[float]:
 
 
 @register(
-    "ann_cosine_topk",
+    "ann_topk",
     """
-    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id,
-           round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cosine
-    FROM embeddings, q
-    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    SELECT 'brute' AS method, vec_id, cosine FROM (
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                 WHERE vec_id = 0)
+      SELECT vec_id,
+             round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6)
+               AS cosine
+      FROM embeddings, q
+      ORDER BY cosine DESC, vec_id ASC LIMIT 10)
+    UNION ALL
+    SELECT 'ivf' AS method, vec_id, cosine FROM (
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                 WHERE vec_id = 0),
+      bucketed AS (
+        SELECT vec_id, embedding,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        FROM embeddings),
+      qb AS (SELECT (CASE WHEN qv[1] > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN qv[2] > 0 THEN 2 ELSE 0 END
+                   + CASE WHEN qv[3] > 0 THEN 4 ELSE 0 END
+                   + CASE WHEN qv[4] > 0 THEN 8 ELSE 0 END) AS qbucket FROM q)
+      SELECT vec_id,
+             round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6)
+               AS cosine
+      FROM bucketed, q, qb WHERE xor(bucket, qbucket) IN (0, 1, 2, 4, 8)
+      ORDER BY cosine DESC, vec_id ASC LIMIT 10)
     """,
-    "brute-force cosine top-k (exact ANN baseline; TakeOrderedAndProject — "
-    "partial top-k per partition, no global sort)")
-def q_ann_cosine_topk(spark, sf_dir):
+    "ANN top-k, tagged union of the r02 ann_cosine_topk + ann_ivf_topk "
+    "entries (driver 50-entry window): brute-force cosine (exact baseline; "
+    "TakeOrderedAndProject — partial top-k per partition, no global sort) "
+    "and IVF-bucketed multi-probe (sign-bit coarse quantizer prunes the "
+    "scan to the query cell + its 4 Hamming-1 neighbors; measured recall@10 "
+    "0.1-0.3 single-probe → 0.7+ multi-probe on testdata)")
+def q_ann_topk(spark, sf_dir):
     qv = _query_vector(spark, sf_dir)
-    return similarity.cosine_topk(t(spark, sf_dir, "embeddings"), qv, k=10)
+    emb = t(spark, sf_dir, "embeddings")
+    brute = (similarity.cosine_topk(emb, qv, k=10)
+             .select(sf.lit("brute").alias("method"), "vec_id", "cosine"))
+    ivf = (similarity.ivf_topk(emb, qv, k=10, n_bits=4, probe_hamming=1)
+           .select(sf.lit("ivf").alias("method"), "vec_id", "cosine"))
+    return brute.unionByName(ivf)
+
+
+def _quantize_query(query_vec: list[float]) -> tuple[list[int], float]:
+    """Driver-side twin of :func:`similarity.quantize_embeddings` for the
+    literal query vector — identical arithmetic (scale = max|x|/127, code =
+    clamp(floor(x/scale + 0.5), ±127)) so query codes match what the column
+    expression would produce."""
+    import math
+
+    scale = max(abs(x) for x in query_vec) / 127.0
+    if scale == 0.0:
+        return [0] * len(query_vec), 0.0
+    codes = [int(max(min(math.floor(x / scale + 0.5), 127), -127))
+             for x in query_vec]
+    return codes, scale
 
 
 @register(
-    "ann_ivf_topk",
+    "ann_cosine_topk_int8",
     """
-    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-    bucketed AS (
-      SELECT vec_id, embedding,
-             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
-            + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-            + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
-            + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
-      FROM embeddings),
-    qb AS (SELECT (CASE WHEN qv[1] > 0 THEN 1 ELSE 0 END
-                 + CASE WHEN qv[2] > 0 THEN 2 ELSE 0 END
-                 + CASE WHEN qv[3] > 0 THEN 4 ELSE 0 END
-                 + CASE WHEN qv[4] > 0 THEN 8 ELSE 0 END) AS qbucket FROM q)
-    SELECT vec_id,
-           round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cosine
-    FROM bucketed, q, qb WHERE xor(bucket, qbucket) IN (0, 1, 2, 4, 8)
-    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = 0),
+    qq AS (
+      SELECT CASE WHEN qscale = 0 THEN list_transform(qv, x -> 0)
+                  ELSE list_transform(qv, x ->
+                    greatest(least(floor(x / qscale + 0.5), 127),
+                             -127)::INTEGER)
+             END AS qc
+      FROM (SELECT qv, list_max(list_transform(qv, y -> abs(y))) / 127.0
+                     AS qscale
+            FROM q)),
+    c AS (
+      SELECT vec_id,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v, x ->
+                    greatest(least(floor(x / scale + 0.5), 127),
+                             -127)::INTEGER)
+             END AS codes
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_max(list_transform(embedding::DOUBLE[],
+                                           x -> abs(x))) / 127.0 AS scale
+            FROM embeddings)),
+    scored AS (
+      SELECT vec_id,
+             list_inner_product(codes::DOUBLE[], qc::DOUBLE[])::BIGINT
+               AS int_dot,
+             list_inner_product(codes::DOUBLE[], codes::DOUBLE[]) AS ss_c,
+             list_inner_product(qc::DOUBLE[], qc::DOUBLE[]) AS ss_q
+      FROM c, qq)
+    SELECT vec_id, int_dot,
+           round(CASE WHEN ss_c = 0 THEN 0.0
+                      ELSE int_dot / (sqrt(ss_c) * sqrt(ss_q)) END, 6)
+             AS cosine_q
+    FROM scored
+    ORDER BY (CASE WHEN ss_c = 0 THEN 0.0
+                   ELSE int_dot / (sqrt(ss_c) * sqrt(ss_q)) END) DESC,
+             vec_id ASC
+    LIMIT 10
     """,
-    "IVF-bucketed ANN with Hamming-1 multi-probe: sign-bit coarse quantizer "
-    "prunes the scan to the query cell + its 4 neighbor cells (measured "
-    "recall@10 0.1-0.3 single-probe -> 0.7+ multi-probe on testdata)")
-def q_ann_ivf_topk(spark, sf_dir):
+    "quantized ANN scan path (VERDICT r02 #5): brute-force top-k over the "
+    "int8 codes from quantize_embeddings — the 100-TB probe reads 4× fewer "
+    "bytes; the per-vector scales cancel inside the code-space cosine, so "
+    "the score is built from EXACT integer dot products (DuckDB-renderable, "
+    "int values ≤ 64·127² fit a double exactly). Measured recall@10 vs the "
+    "float path asserted in tests/test_ops.py")
+def q_ann_cosine_topk_int8(spark, sf_dir):
     qv = _query_vector(spark, sf_dir)
-    return similarity.ivf_topk(t(spark, sf_dir, "embeddings"), qv, k=10,
-                               n_bits=4, probe_hamming=1)
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_int8(emb, qv, k=10)
 
 
 @register(
@@ -1002,8 +1090,23 @@ _GOLDEN_SF_MULTIDOC = os.path.abspath(os.path.join(
 
 
 def _golden_cte(path: str) -> str:
+    """Golden-fixture CTE keyed by corpus_key = Σ len(documents.text).
+
+    Fixtures exist only for the generated SFs (tools/regen_sf_goldens.py);
+    on any other SF the key match is empty — the guard turns what would be
+    an opaque hash/row-count mismatch into a loud, actionable DuckDB error
+    (ADVICE r02). Stays a single SELECT (the driver may not run
+    multi-statement SQL): the scalar subquery errors iff the fixture holds
+    zero rows for this corpus key."""
     return (f"SELECT * FROM read_parquet('{path}') WHERE corpus_key = "
-            "(SELECT sum(length(text)) FROM documents)")
+            "(SELECT CASE WHEN n = 0 THEN error('no golden fixture for "
+            "this SF (corpus_key not in fixture) - rerun "
+            "tools/regen_sf_goldens.py for this scale factor') ELSE k END "
+            "FROM (SELECT "
+            f"(SELECT count(*) FROM read_parquet('{path}') gg "
+            "WHERE gg.corpus_key = (SELECT sum(length(text)) FROM documents)"
+            ") AS n, "
+            "(SELECT sum(length(text)) FROM documents) AS k))")
 
 
 @register(
@@ -1232,73 +1335,47 @@ def q_embedding_quantize_int8(spark, sf_dir):
 
 
 @register(
-    "time_rollup_hypertable",
-    """
-    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-           CASE WHEN GROUPING(hr) = 0
-                THEN strftime(hr, '%Y-%m-%d %H:%M:%S') END AS hour,
-           count(*) AS n, round(sum(value), 2) AS total_value
-    FROM (SELECT ts, date_trunc('hour', ts) AS hr, value FROM events)
-    GROUP BY GROUPING SETS ((day, hr), (day))
-    """,
-    "hypertable-style continuous-aggregate rollup: hourly + daily totals in "
-    "ONE pass via grouping sets (a single Expand, no second scan)")
-def q_time_rollup_hypertable(spark, sf_dir):
-    ev = t(spark, sf_dir, "events").select(
-        sf.date_format(sf.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
-        sf.date_trunc("hour", "ts").alias("hr"),
-        "value")
-    rolled = (ev.groupingSets([["day", "hr"], ["day"]], "day", "hr")
-              .agg(sf.count("*").alias("n"),
-                   sf.round(sf.sum("value"), 2).alias("total_value"),
-                   sf.grouping("hr").alias("_g_hr")))
-    return rolled.select(
-        "day",
-        sf.when(sf.col("_g_hr") == 0,
-                sf.date_format("hr", "yyyy-MM-dd HH:mm:ss")).alias("hour"),
-        "n", "total_value")
-
-
-@register(
-    "agg_percentiles",
-    """
-    SELECT event_type,
-           round(quantile_cont(value, 0.5), 6) AS p50,
-           round(quantile_cont(value, 0.9), 6) AS p90,
-           round(quantile_cont(value, 0.99), 6) AS p99
-    FROM events GROUP BY event_type
-    """,
-    "exact linear-interpolated percentiles per group (Spark percentile ≡ "
-    "DuckDB quantile_cont); the approx path for 100 TB is "
-    "percentile_approx, sanity-gated like the HLL sketch")
-def q_agg_percentiles(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
-    return (ev.groupBy("event_type")
-            .agg(*[sf.round(sf.percentile("value", sf.lit(p)), 6)
-                   .alias(f"p{int(p * 100)}")
-                   for p in (0.5, 0.9, 0.99)]))
-
-
-@register(
-    "asof_join_purchases",
+    "temporal_joins",
     """
     WITH l AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
     r AS (SELECT user_id, ts, max(value) AS click_value FROM events
-          WHERE event_type = 'click' GROUP BY user_id, ts)
-    SELECT l.user_id % 10 AS cohort,
-           count(*) AS n_purchases,
-           count(r.click_value) AS n_matched,
-           sum(CASE WHEN r.ts IS NOT NULL
-                    THEN epoch_us(l.ts) - epoch_us(r.ts)
-                    ELSE 0 END)::BIGINT AS total_gap_us,
-           round(sum(coalesce(r.click_value, 0)), 2) AS total_click_value
-    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
-    GROUP BY 1
+          WHERE event_type = 'click' GROUP BY user_id, ts),
+    a AS (
+      SELECT l.user_id % 10 AS cohort,
+             count(*) AS n_purchases,
+             count(r.click_value) AS n_matched,
+             sum(CASE WHEN r.ts IS NOT NULL
+                      THEN epoch_us(l.ts) - epoch_us(r.ts)
+                      ELSE 0 END)::BIGINT AS total_gap_us,
+             round(sum(coalesce(r.click_value, 0)), 2) AS total_click_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      GROUP BY 1),
+    p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+    i AS (SELECT user_id, ts AS s, ts + INTERVAL 2 HOUR AS e FROM events
+          WHERE event_type = 'signup'),
+    g AS (
+      SELECT p.user_id % 10 AS cohort, count(*) AS n_matches,
+             round(sum(p.value), 2) AS total_value
+      FROM p JOIN i ON p.user_id = i.user_id AND p.ts >= i.s AND p.ts <= i.e
+      GROUP BY 1)
+    SELECT cohort,
+           coalesce(n_purchases, 0)::BIGINT AS n_purchases,
+           coalesce(n_matched, 0)::BIGINT AS n_matched,
+           coalesce(total_gap_us, 0)::BIGINT AS total_gap_us,
+           coalesce(total_click_value, 0.0) AS total_click_value,
+           coalesce(n_matches, 0)::BIGINT AS n_matches,
+           coalesce(total_value, 0.0) AS total_value
+    FROM a FULL OUTER JOIN g USING (cohort)
     """,
-    "as-of join (operator Spark lacks, built union+window single-shuffle): "
-    "each purchase attaches the latest prior click per user — verified "
-    "against DuckDB's NATIVE ASOF LEFT JOIN")
-def q_asof_join_purchases(spark, sf_dir):
+    "temporal joins, merged r02 asof_join_purchases + range_join_sessions "
+    "entries (driver 50-entry window), full-outer aligned per cohort: "
+    "(a) as-of join — operator Spark lacks, built union+window "
+    "single-shuffle; each purchase attaches the latest prior click per "
+    "user, verified against DuckDB's NATIVE ASOF LEFT JOIN; (b) range join "
+    "via time-bucketing (clicks → containing 2h signup windows) — the "
+    "scale rewrite of an inequality join, oracle uses the plain "
+    "inequality join")
+def q_temporal_joins(spark, sf_dir):
     from br_doc_ocr_spark.ops import temporal
 
     ev = t(spark, sf_dir, "events")
@@ -1312,43 +1389,32 @@ def q_asof_join_purchases(spark, sf_dir):
     # gap is a difference, so the session-tz shift cancels exactly
     us = lambda c: sf.unix_micros(sf.col(c).cast("timestamp"))  # noqa: E731
     gap = sf.when(matched, us("ts") - us("ts_asof")).otherwise(sf.lit(0))
-    return (joined.groupBy((sf.col("user_id") % 10).alias("cohort"))
+    asof = (joined.groupBy((sf.col("user_id") % 10).alias("cohort"))
             .agg(sf.count("*").alias("n_purchases"),
                  sf.count("click_value_asof").alias("n_matched"),
                  sf.sum(gap).alias("total_gap_us"),
                  sf.round(sf.sum(sf.coalesce("click_value_asof", sf.lit(0.0))),
                           2).alias("total_click_value")))
-
-
-@register(
-    "range_join_sessions",
-    """
-    WITH p AS (SELECT user_id, ts, value FROM events
-               WHERE event_type = 'click'),
-    i AS (SELECT user_id, ts AS s, ts + INTERVAL 2 HOUR AS e FROM events
-          WHERE event_type = 'signup')
-    SELECT p.user_id % 10 AS cohort, count(*) AS n_matches,
-           round(sum(p.value), 2) AS total_value
-    FROM p JOIN i ON p.user_id = i.user_id AND p.ts >= i.s AND p.ts <= i.e
-    GROUP BY 1
-    """,
-    "range join via time-bucketing (clicks → containing 2h signup windows) "
-    "— the scale rewrite of an inequality join; oracle uses the plain "
-    "inequality join")
-def q_range_join_sessions(spark, sf_dir):
-    from br_doc_ocr_spark.ops import temporal
-
-    ev = t(spark, sf_dir, "events")
     points = (ev.filter(sf.col("event_type") == "click")
               .select("user_id", "ts", "value"))
     intervals = (ev.filter(sf.col("event_type") == "signup")
                  .select("user_id", sf.col("ts").alias("start"),
                          (sf.col("ts") + sf.expr("INTERVAL 2 HOURS"))
                          .alias("end")))
-    joined = temporal.range_join(points, intervals)
-    return (joined.groupBy((sf.col("user_id") % 10).alias("cohort"))
-            .agg(sf.count("*").alias("n_matches"),
-                 sf.round(sf.sum("value"), 2).alias("total_value")))
+    ranged = (temporal.range_join(points, intervals)
+              .groupBy((sf.col("user_id") % 10).alias("cohort"))
+              .agg(sf.count("*").alias("n_matches"),
+                   sf.round(sf.sum("value"), 2).alias("total_value")))
+    z = lambda c: sf.coalesce(c, sf.lit(0)).cast("long")  # noqa: E731
+    zd = lambda c: sf.coalesce(c, sf.lit(0.0))  # noqa: E731
+    return (asof.join(ranged, "cohort", "full_outer")
+            .select("cohort",
+                    z("n_purchases").alias("n_purchases"),
+                    z("n_matched").alias("n_matched"),
+                    z("total_gap_us").alias("total_gap_us"),
+                    zd("total_click_value").alias("total_click_value"),
+                    z("n_matches").alias("n_matches"),
+                    zd("total_value").alias("total_value")))
 
 
 @register(
@@ -1733,6 +1799,58 @@ def q_multimodal_video_frames(spark, sf_dir):
     frames = mm.sample_video_frames(mm.synth_media(spark, n=48), every_nth=10)
     return (frames.groupBy("frame_idx").agg(sf.count("*").alias("n"))
             .orderBy("frame_idx"))
+
+
+# ---------------------------------------------------------------------------
+# Driver-coverage guard (VERDICT r02 #1/#7): the driver records CORRECTNESS
+# rows for only the FIRST DRIVER_RECORD_CAP entries of queries(). Round 2
+# shipped 60 entries and the last 10 — including every round-1 failure —
+# silently fell out of the hard correctness signal. The catalog is therefore
+# consolidated to ≤ 50 entries (merged entries name their r02 parents in
+# their docstrings) and re-ordered so the 10 previously-unrecorded names
+# come first. Adding an entry past the cap raises at import time — a new
+# query can never again silently push an existing one out of coverage.
+# ---------------------------------------------------------------------------
+
+DRIVER_RECORD_CAP = 50
+
+_DRIVER_ORDER = [
+    # the 10 entries with no driver CORRECTNESS row in r02 (VERDICT r02 #1)
+    "text_fingerprint", "eval_extraction_report", "extract_schema_guided",
+    "explode_multidoc_segments", "extract_multidoc", "classify_alternatives",
+    "text_langid", "multimodal_image_features", "multimodal_audio_features",
+    "multimodal_video_frames",
+    # new this round
+    "ann_cosine_topk_int8",
+    # extraction + LLM-data operators
+    "extract_pipeline_summary", "extract_field_counts",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_components",
+    "dedup_exact_groups", "dedup_token_jaccard", "dedup_embedding_cosine",
+    "ann_topk", "ann_knn_join", "embedding_quantize_int8", "temporal_joins",
+    # relational surface
+    "pricing_summary", "filter_isin", "projection_pushdown",
+    "projection_null_init", "status_routing", "join_broadcast_agg",
+    "join_multiway", "join_semi_anti", "join_full_outer_alignment",
+    "window_topk_running", "window_lag_gap", "sort_report",
+    "agg_rollup_time", "agg_approx_distinct", "set_ops",
+    "explode_digit_counts", "fn_cnpj_date_normalize", "fn_currency_parse",
+    "fn_invoice_totals", "fn_json_extract", "fn_state_extraction",
+    "deterministic_split", "event_time_window", "eval_prf_flags",
+    "dataset_conversation", "text_token_stats", "text_quality",
+]
+
+if set(_DRIVER_ORDER) != set(REGISTRY):
+    raise RuntimeError(
+        "queries.py registry drift: _DRIVER_ORDER and @register entries "
+        f"disagree — missing from order: {sorted(set(REGISTRY) - set(_DRIVER_ORDER))}, "
+        f"stale in order: {sorted(set(_DRIVER_ORDER) - set(REGISTRY))}")
+if len(_DRIVER_ORDER) > DRIVER_RECORD_CAP:
+    raise RuntimeError(
+        f"catalog has {len(_DRIVER_ORDER)} entries but the driver records "
+        f"only the first {DRIVER_RECORD_CAP} — merge entries (see the "
+        "tagged-union pattern in set_ops) instead of exceeding the cap")
+
+REGISTRY = {name: REGISTRY[name] for name in _DRIVER_ORDER}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

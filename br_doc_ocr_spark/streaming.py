@@ -61,14 +61,24 @@ def extract_stream(transcripts: DataFrame,
 
 def deduplicated_stream(transcripts: DataFrame,
                         watermark: str = "1 hour") -> DataFrame:
-    """Streaming exact-dedup on content: drop payloads whose ``xxhash64``
-    was already seen within the watermark horizon, BEFORE the kernel runs
-    (duplicate payloads are pure wasted kernel time downstream).
+    """Streaming content dedup: drop payloads whose digest was already seen
+    within the watermark horizon, BEFORE the kernel runs (duplicate
+    payloads are pure wasted kernel time downstream).
 
     ``dropDuplicatesWithinWatermark`` is the scale-safe form — state is
     bounded by the watermark window, where a plain streaming
     ``dropDuplicates`` accumulates every key ever seen until the job OOMs.
     Suppression works across micro-batches via the query checkpoint.
+
+    COLLISION SEMANTICS (ADVICE r02): the dedup key is
+    ``(length(text), md5(text))`` — 128 digest bits + the length, not the
+    64-bit ``xxhash64`` an earlier revision used. At 64 bits the birthday
+    bound makes a false collision (a NON-duplicate silently dropped) a real
+    event inside a billions-of-rows horizon (~50% odds by 5·10⁹ keys); at
+    128+ bits it is ~10⁻²⁰ at the same scale. This is still digest-equality,
+    not byte-equality — the state store keeps ~24 bytes/row instead of the
+    full payload; a caller needing PROVABLY lossless dedup must use the
+    batch path ``dedup.drop_exact_duplicates`` (groups on the text itself).
 
     TRADE-OFF (inherent to watermarked state): rows arriving with event
     time older than the current watermark are dropped ENTIRELY — including
@@ -77,10 +87,11 @@ def deduplicated_stream(transcripts: DataFrame,
     (a backfill older than the horizon must go through the BATCH dedup
     path, ``dedup.drop_exact_duplicates``, not this stream)."""
     return (transcripts
-            .withColumn("_content_hash", sf.xxhash64("text"))
+            .withColumn("_content_len", sf.length("text"))
+            .withColumn("_content_md5", sf.md5(sf.encode("text", "UTF-8")))
             .withWatermark("ts", watermark)
-            .dropDuplicatesWithinWatermark(["_content_hash"])
-            .drop("_content_hash"))
+            .dropDuplicatesWithinWatermark(["_content_len", "_content_md5"])
+            .drop("_content_len", "_content_md5"))
 
 
 def stream_extract_deduplicated(

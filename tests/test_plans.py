@@ -57,8 +57,12 @@ def test_small_dims_are_broadcast(spark):
 
 
 def test_topk_uses_partial_take_ordered(spark):
-    plan = plan_of(REGISTRY["ann_cosine_topk"].fn(spark, SF_DIR))
-    assert "TakeOrderedAndProject" in plan  # no global Sort for a limit-k
+    # merged ann_topk unions the brute + ivf branches; each must still be a
+    # partial top-k — and so must the quantized int8 path
+    plan = plan_of(REGISTRY["ann_topk"].fn(spark, SF_DIR))
+    assert plan.count("TakeOrderedAndProject") >= 2  # no global Sort for limit-k
+    plan8 = plan_of(REGISTRY["ann_cosine_topk_int8"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan8
 
 
 def test_whole_stage_codegen_covers_relational_queries(spark):
@@ -169,13 +173,25 @@ def test_dataset_transform_is_shuffle_free(spark):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
 
 
+def _events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
 def test_asof_join_is_single_shuffle_no_nested_loop(spark):
     """asof_join's scale claim: ONE exchange keyed by the join key, never a
     BroadcastNestedLoopJoin/CartesianProduct (the non-equi-join blowup it
-    exists to avoid)."""
+    exists to avoid). (Built directly — the merged temporal_joins catalog
+    entry adds a cohort-alignment join on top, so plan-gate the operator,
+    not the catalog wrapper.)"""
     import re
 
-    plan = plan_of(REGISTRY["asof_join_purchases"].fn(spark, SF_DIR))
+    from br_doc_ocr_spark.ops import temporal
+
+    ev = _events(spark)
+    left = ev.filter(sf.col("event_type") == "purchase").select("user_id", "ts")
+    right = (ev.filter(sf.col("event_type") == "click")
+             .groupBy("user_id", "ts").agg(sf.max("value").alias("click_value")))
+    plan = plan_of(temporal.asof_join(left, right, value_cols=["click_value"]))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     # exchanges: the union's user_id partitioning + the final agg; the join
     # itself must not add a per-row comparison join operator
@@ -187,7 +203,16 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     """range_join must execute as a hash/merge EQUI-join on (key, bucket)
     with the range residual as a join filter — not the BNLJ a plain
     inequality join degrades to."""
-    plan = plan_of(REGISTRY["range_join_sessions"].fn(spark, SF_DIR))
+    from br_doc_ocr_spark.ops import temporal
+
+    ev = _events(spark)
+    points = (ev.filter(sf.col("event_type") == "click")
+              .select("user_id", "ts", "value"))
+    intervals = (ev.filter(sf.col("event_type") == "signup")
+                 .select("user_id", sf.col("ts").alias("start"),
+                         (sf.col("ts") + sf.expr("INTERVAL 2 HOURS"))
+                         .alias("end")))
+    plan = plan_of(temporal.range_join(points, intervals))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
