@@ -272,36 +272,82 @@ def _token_hash64(tok: Column) -> Column:
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
-                       out_col: str = "simhash") -> DataFrame:
+                       out_col: str = "simhash",
+                       salt_buckets: int = 4) -> DataFrame:
     """(id, simhash LONG) per document — 64-bit SimHash, all JVM-side.
 
-    Shape mirrors :func:`minhash_signatures`: explode the token multiset,
-    one codegen projection computes all 64 bit indicators of the md5-derived
-    token hash, then ``groupBy(id)`` with 64 conditional sums + a count —
-    map-side partial aggregation means the shuffle carries 65 longs per
-    (partition, id), never the tokens. Bit i of the signature is set iff
-    more than half the token hashes have bit i set. ``explode_outer`` keeps
-    tokenless documents (empty/whitespace text) as a single null-token row,
-    whose all-null bit sums fall through every ``when`` to 0 — signature 0,
-    one scan, no join-back (the empty-doc drop ADVICE r01 flagged for
-    minhash does not recur here).
+    Shape mirrors :func:`minhash_signatures` with PACKED vote lanes
+    (VERDICT r02 #4): explode the token multiset, then instead of 64
+    single-bit aggregate columns, one codegen projection packs the 64 bit
+    indicators of the md5-derived token hash into 16 longs of 4×16-bit
+    lanes (long j, lane l ← bit 4j+l), and the token-granularity aggregate
+    sums just those 16 longs + a count — the partial-agg state per group is
+    17 longs, not 65, and the per-row update is shift-adds, not 64 CASE
+    branches (profiled 2.4 s → ~1 s for the signature stage at sf0.1).
+
+    A 16-bit lane overflows at 65 536 votes, so the token aggregate groups
+    by (id, ``pos % salt_buckets``) — per-group token count stays under
+    2^16 for documents up to ``salt_buckets``·65 536 tokens (~1.5 MB of text
+    at the default 4; raise for longer corpora) — and a second, tiny
+    aggregate (≤ ``salt_buckets`` rows/doc) unpacks the lanes and sums the
+    64 exact per-bit counts. Overflow is GUARDED, not silent: a document
+    over the capacity raises via ``raise_error`` instead of corrupting
+    neighbor lanes. Bit i of the signature is set iff more than half the
+    token hashes have bit i set — values identical to the unpacked
+    formulation (tests pin this against the Python model).
+    ``posexplode_outer`` keeps tokenless documents (empty/whitespace text)
+    as a single null-token row, whose all-null lane sums fall through every
+    ``when`` to 0 — signature 0, one scan, no join-back (the empty-doc
+    drop ADVICE r01 flagged for minhash does not recur here).
     """
+    # 65535 (not 65536) per lane: a full 2^16 count would carry into the
+    # neighbor lane even though it "fits" the document cap
+    cap = salt_buckets * 65535
     toks = df.select(
         sf.col(id_col).alias("id"),
-        sf.explode_outer(simhash_tokens(sf.col(text_col))).alias("_tok"))
-    h = toks.select("id", _token_hash64(sf.col("_tok")).alias("_h"))
-    bits = h.select(
-        "id", *[sf.shiftrightunsigned("_h", i).bitwiseAND(sf.lit(1))
-                .alias(f"_b{i}") for i in range(64)])
-    votes = bits.groupBy("id").agg(
-        sf.count("*").alias("_n"),
-        *[sf.sum(f"_b{i}").alias(f"_s{i}") for i in range(64)])
+        sf.posexplode_outer(simhash_tokens(sf.col(text_col)))
+        .alias("_pos", "_tok"))
+    h = toks.select(
+        "id", sf.pmod(sf.coalesce("_pos", sf.lit(0)),
+                      sf.lit(salt_buckets)).alias("_salt"),
+        _token_hash64(sf.col("_tok")).alias("_h"))
+
+    # nibble→lane spread in 4 ops: for nibble bits b0..b3, multiplying by
+    # C = 1 + 2^15 + 2^30 + 2^45 lands bit k at position k + 15k' for each
+    # (k, k') — all 16 positions {0..3, 15..18, 30..33, 45..48} are distinct
+    # (no carries), and masking positions {0,16,32,48} keeps exactly bit k
+    # in lane k. ~4× fewer codegen ops/token than per-bit shift-mask-shift.
+    _SPREAD_C = sf.lit((1 << 45) | (1 << 30) | (1 << 15) | 1)
+    _LANE_M = sf.lit((1 << 48) | (1 << 32) | (1 << 16) | 1)
+
+    def packed(j: int):
+        nibble = sf.shiftrightunsigned("_h", 4 * j).bitwiseAND(sf.lit(15))
+        return (nibble * _SPREAD_C).bitwiseAND(_LANE_M).alias(f"_p{j}")
+
+    lanes16 = h.select("id", "_salt", *[packed(j) for j in range(16)])
+    partial = lanes16.groupBy("id", "_salt").agg(
+        sf.count("_p0").alias("_n"),
+        *[sf.sum(f"_p{j}").alias(f"_p{j}") for j in range(16)])
+
+    def unpacked(i: int):
+        j, lane = divmod(i, 4)
+        return (sf.sum(sf.shiftrightunsigned(f"_p{j}", 16 * lane)
+                       .bitwiseAND(sf.lit(0xFFFF))).alias(f"_s{i}"))
+
+    votes = partial.groupBy("id").agg(
+        sf.sum("_n").alias("_n"), *[unpacked(i) for i in range(64)])
+    guarded_n = sf.when(
+        sf.col("_n") > cap,
+        sf.raise_error(sf.concat(
+            sf.lit(f"simhash vote lanes overflow: document has > {cap} "
+                   "tokens — raise salt_buckets for id "),
+            sf.col("id").cast("string")))).otherwise(sf.col("_n"))
     # disjoint bit contributions sum to the packed word; bit 63 is the sign
     # bit of the signed long, hence the -2^63 literal
     return votes.select(
         "id",
         sum(
-            (sf.when(sf.col(f"_s{i}") * 2 > sf.col("_n"),
+            (sf.when(sf.col(f"_s{i}") * 2 > guarded_n,
                      sf.lit(-(1 << 63) if i == 63 else (1 << i)))
              .otherwise(sf.lit(0)).cast("long")
              for i in range(64)),
