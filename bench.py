@@ -101,13 +101,58 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
 
+    if os.environ.get("SPARK_GRAFT_BENCH_DEDUP", "1") != "0":
+        # End-to-end near-dup pipeline at scale under cluster skew
+        # (VERDICT r02 #3): MinHash/LSH candidates → exact-Jaccard verify →
+        # connected components → anti-join, over a corpus whose hottest
+        # cluster is ~400× the median (the LSH band bucket for it goes
+        # quadratic — AQE skew-join splits carry it). ``expected_kept`` is
+        # the ground-truth distinct-cluster count: kept == expected iff
+        # LSH recall found every cluster pair and nothing false-merged.
+        from br_doc_ocr_spark.ops import dedup
+        from br_doc_ocr_spark.synth import make_skewed_documents
+
+        # default 2M docs at sf0.1 (~150×-median hot cluster, ~2-3 min);
+        # the 5M-doc measurement (≈400× median, 445 s, perfect recall,
+        # 2 CC iterations) is recorded in BENCH.md — too slow to re-run
+        # per bench invocation
+        n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DEDUP_DOCS",
+                                    str(int(20_000_000 * _SF))))
+        dpath = f"/tmp/spark_graft_bench/skewed_docs_{n_docs}.parquet"
+        if not os.path.exists(os.path.join(dpath, "_SUCCESS")):
+            make_skewed_documents(spark, n_docs).write.mode(
+                "overwrite").parquet(dpath)
+        expected_kept = (spark.read.parquet(dpath)
+                         .select("cluster").distinct().count())
+        docs = spark.read.parquet(dpath).select("doc_id", "text")
+        t0 = time.perf_counter()
+        pairs = dedup.minhash_near_duplicates(docs, threshold=0.5)
+        pairs.persist()
+        n_pairs = pairs.count()
+        t_pairs = time.perf_counter() - t0
+        cc_stats: dict = {}
+        kept = dedup.drop_near_duplicates(docs, pairs, stats=cc_stats).count()
+        elapsed = time.perf_counter() - t0
+        pairs.unpersist()
+        extra["dedup_pipeline"] = {
+            "docs": n_docs, "pairs": n_pairs, "kept": kept,
+            "expected_kept": expected_kept,
+            "cc_iterations": cc_stats.get("iterations"),
+            "pairs_sec": round(t_pairs, 3), "total_sec": round(elapsed, 3),
+        }
+
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
-        # N vs 4N parallelism on the SAME (4× larger) input — larger so the
-        # timed run is seconds-scale at both levels and fixed scheduling
-        # overhead does not masquerade as poor scaling.
-        n_scale = N_TURNS * 4
+        # N vs 4N parallelism on the SAME (16× larger) input. Leg length is
+        # the steal-robustness dial (VERDICT r02 #2): this host shows
+        # multi-minute steal bursts, and a 5 s high leg can sit entirely
+        # inside one — r02 recorded 0.742 from exactly that. At 16× turns
+        # the HIGH leg runs ~20 s and the low leg ~80 s, so a burst inflates
+        # a leg fractionally instead of swallowing it.
+        n_scale = N_TURNS * 16
         spath = f"/tmp/spark_graft_bench/transcripts_v2_{n_scale}.parquet"
+        wpath = f"/tmp/spark_graft_bench/transcripts_v2_{N_TURNS * 4}.parquet"
         _prepare_transcripts(spark, spath, n_scale)
+        _prepare_transcripts(spark, wpath, N_TURNS * 4)  # short warm input
         spark.stop()
         # N vs 4N with 4N = CPUS/2: each local[N] task pairs a JVM thread
         # with a Python worker, so local[CPUS] runs 2×CPUS runnable threads —
@@ -117,23 +162,25 @@ def main() -> None:
         low_cpus = max(CPUS // 8, 1)
         hi_cpus = low_cpus * 4
         # INTERLEAVED legs: measured efficiencies swung 0.75-1.15 when each
-        # leg ran as one block, because a multi-minute host-steal window can
-        # blanket one leg entirely; alternating low/high sessions and taking
-        # the best per level exposes both legs to the same steal weather.
-        # 4 rounds; the SHORT (high-parallelism) leg takes 2 timed reps per
-        # session — a multi-minute steal burst inflates a 5 s run by a much
-        # larger factor than a 20 s run, so the short leg needs more samples
-        # to catch a clean window
-        rounds = 4
+        # leg ran as one block, because a host-steal window can blanket one
+        # leg entirely; alternating low/high sessions and taking the best
+        # per level exposes both legs to the same steal weather. Each
+        # session warms on the SHORT table (Python-worker fork + JIT), then
+        # times the big one; the high leg takes 2 timed reps per round —
+        # it is still the shorter leg and needs more samples to catch a
+        # clean window.
+        rounds = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_ROUNDS", "3"))
         runs_low: list[float] = []
         runs_hi: list[float] = []
         for i in range(rounds):
             s_low = build_session(app_name="bench-lowpar", cpus=low_cpus)
-            t, _, _ = _run_extraction(s_low, spath, reps=1)
+            _run_extraction(s_low, wpath, warm=False, reps=1)  # warm, untimed
+            t, _, _ = _run_extraction(s_low, spath, warm=False, reps=1)
             runs_low.append(round(t, 3))
             s_low.stop()
             s_hi = build_session(app_name="bench-hipar", cpus=hi_cpus)
-            t, _, reps = _run_extraction(s_hi, spath, reps=2)
+            _run_extraction(s_hi, wpath, warm=False, reps=1)  # warm, untimed
+            _, _, reps = _run_extraction(s_hi, spath, warm=False, reps=2)
             runs_hi.extend(reps)
             if i < rounds - 1:
                 s_hi.stop()

@@ -404,7 +404,8 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iterations: int = 25) -> DataFrame:
+                         max_iterations: int = 25,
+                         stats: dict | None = None) -> DataFrame:
     """(id, component) for every id appearing in ``pairs``, where component
     is the SMALLEST id reachable through the pair graph — deterministic
     cluster representatives.
@@ -428,7 +429,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
            .distinct())
     labels = (und.select(sf.col("src").alias("id")).distinct()
               .withColumn("comp", sf.col("id"))).localCheckpoint()
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             und.join(labels.withColumnRenamed("id", "src"), "src")
             .select(sf.col("dst").alias("id"), "comp"))
@@ -443,6 +444,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         changed = (jumped.join(labels.withColumnRenamed("comp", "old"), "id")
                    .filter(sf.col("comp") != sf.col("old")).count())
         labels = jumped
+        if stats is not None:
+            stats["iterations"] = it + 1
         if changed == 0:
             return labels
     raise RuntimeError(
@@ -451,10 +454,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
 
 def drop_near_duplicates(df: DataFrame, pairs: DataFrame,
-                         id_col: str = "doc_id") -> DataFrame:
+                         id_col: str = "doc_id",
+                         stats: dict | None = None) -> DataFrame:
     """Keep one row per near-dup cluster (the min-id representative) plus
     every row not mentioned in ``pairs`` — the end-to-end dedup sink."""
-    comps = connected_components(pairs)
+    comps = connected_components(pairs, stats=stats)
     losers = comps.filter(sf.col("id") != sf.col("comp")).select(
         sf.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
