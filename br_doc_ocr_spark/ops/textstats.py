@@ -14,15 +14,39 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as sf
 
-# Stopword samples per language for the n-gram/stopword-ratio heuristic
-# (public langid practice: stopword hit-rate per language, e.g. the approach
-# of the classic "stopwords" method in langid literature).
+# Stopword samples per language for the stopword-ratio heuristic (public
+# langid practice: stopword hit-rate per language — the classic "stopwords"
+# method from the langid literature; word lists are the usual top-frequency
+# function words from public stopword collections). This is a HEURISTIC
+# GATE, not a fasttext-class identifier: it separates languages by their
+# highest-frequency function words and returns 'und' when none appear —
+# fine for corpus triage/routing, not for per-document ground truth on
+# short or code-mixed text.
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "a", "of", "and", "to", "in"),
-    "es": ("el", "de", "la", "y", "que", "los"),
-    "fr": ("le", "de", "la", "et", "les", "des"),
-    "de": ("der", "die", "und", "das", "ist", "von"),
-    "zh": ("的", "是", "了", "在", "和", "有"),
+    "ar": ("في", "من", "على", "أن", "إلى", "عن", "هذا", "كان"),
+    "cs": ("se", "na", "je", "že", "jsou", "ale", "jako", "podle"),
+    "da": ("og", "det", "at", "den", "til", "er", "som", "ikke"),
+    "de": ("der", "die", "und", "das", "ist", "von", "den", "nicht"),
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es": ("el", "de", "la", "y", "que", "los", "por", "una"),
+    "fi": ("ja", "on", "ei", "että", "hän", "oli", "mutta", "joka"),
+    "fr": ("le", "de", "la", "et", "les", "des", "une", "est"),
+    "hi": ("के", "है", "में", "की", "का", "और", "से", "को"),
+    "id": ("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini"),
+    "it": ("il", "di", "che", "per", "della", "del", "non", "sono"),
+    "ja": ("の", "に", "は", "を", "が", "で", "と", "した"),
+    "ko": ("이", "그", "는", "을", "가", "에", "의", "하"),
+    "nl": ("de", "het", "een", "en", "van", "dat", "niet", "met"),
+    "no": ("og", "det", "som", "på", "til", "er", "av", "ikke"),
+    "pl": ("nie", "się", "na", "do", "że", "jest", "jak", "ale"),
+    "pt": ("o", "de", "e", "que", "do", "da", "em", "para"),
+    "ro": ("și", "în", "la", "cu", "pe", "este", "care", "nu"),
+    "ru": ("и", "в", "не", "на", "что", "как", "это", "но"),
+    "sv": ("och", "att", "det", "som", "på", "är", "av", "för"),
+    "tr": ("bir", "ve", "bu", "da", "için", "ile", "ki", "değil"),
+    "uk": ("і", "в", "не", "на", "що", "як", "до", "це"),
+    "vi": ("và", "của", "là", "có", "không", "được", "trong", "cho"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "这"),
 }
 
 
@@ -53,7 +77,14 @@ def _word_tokens(text: Column) -> Column:
 
 
 def _is_cjk(word: str) -> bool:
-    return any("一" <= ch <= "鿿" for ch in word)
+    """True for words that must be SUBSTRING-counted (no word boundaries in
+    running text): CJK ideographs, kana (Japanese), Hangul (Korean
+    particles attach to their host word, so token equality never fires)."""
+    return any(
+        "一" <= ch <= "鿿"       # CJK unified ideographs
+        or "ぁ" <= ch <= "ヿ"    # hiragana + katakana
+        or "가" <= ch <= "힣"    # hangul syllables
+        for ch in word)
 
 
 def stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
@@ -68,20 +99,22 @@ def stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
     lowered = sf.lower(text)
     tokens = _word_tokens(text)
     counts = []
+    latin = tuple(w for w in words if not _is_cjk(w))
+    if latin:
+        # ONE filter with a multi-way IN per language (not one filter per
+        # word): equals the sum of per-word equality counts, at 1/len(words)
+        # the array passes. Closure factory, NOT a default-arg lambda: a
+        # two-parameter lambda in sf.filter is the (element, index) form.
+        def _in(ws):
+            return lambda x: x.isin(*ws)
+
+        counts.append(sf.size(sf.filter(tokens, _in(latin))))
     for w in words:
         if _is_cjk(w):
             counts.append(
                 (sf.length(lowered)
                  - sf.length(sf.replace(lowered, sf.lit(w), sf.lit(""))))
                 / len(w))
-        else:
-            # closure factory, NOT a default-arg lambda: a two-parameter
-            # lambda in sf.filter is the (element, index) form and the word
-            # would be bound to the integer index column
-            def _equals(word):
-                return lambda x: x == word
-
-            counts.append(sf.size(sf.filter(tokens, _equals(w))))
     total = counts[0]
     for c in counts[1:]:
         total = total + c

@@ -45,16 +45,20 @@ _SQL_TOKENS = ("string_split(regexp_replace(lower(text), "
 
 
 def _sql_stopword_hits(words) -> str:
-    """DuckDB rendering of textstats.stopword_hits: token-equality counts for
-    Latin words over the collapsed-separator tokenization, substring counts
-    for CJK entries — kept in lockstep with the Spark implementation."""
+    """DuckDB rendering of textstats.stopword_hits: ONE multi-way-IN
+    token-equality filter for the Latin words over the collapsed-separator
+    tokenization, substring counts for CJK/kana/hangul entries — kept in
+    lockstep with the Spark implementation (generated from the same
+    LANG_STOPWORDS table)."""
     terms = []
+    latin = tuple(w for w in words if not textstats._is_cjk(w))
+    if latin:
+        in_list = ", ".join(f"'{w}'" for w in latin)
+        terms.append(f"len(list_filter({_SQL_TOKENS}, x -> x IN ({in_list})))")
     for w in words:
         if textstats._is_cjk(w):
             terms.append(f"((length(lower(text)) - "
                          f"length(replace(lower(text), '{w}', ''))) / {len(w)})")
-        else:
-            terms.append(f"len(list_filter({_SQL_TOKENS}, x -> x = '{w}'))")
     return f"greatest(({' + '.join(terms)})::INT, 0)"
 
 

