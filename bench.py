@@ -91,14 +91,23 @@ def main() -> None:
 
     for name in BENCH_QUERIES:
         qd = REGISTRY[name]
-        # best-of-2: this host shows bursty CPU steal (single-shot catalog
-        # timings measured swinging 0.6s ↔ 13s for the same query)
+        # adaptive best-of-N: this host shows bursty CPU steal (single-shot
+        # catalog timings measured swinging 0.6s ↔ 13s for the same query,
+        # and one full bench recorded dedup_minhash_lsh at 21 s where the
+        # steady state is 2.3 s — a multi-minute burst blanketed both of a
+        # best-of-2's reps). Run 2 reps; while the two best disagree by
+        # >25% keep sampling up to 5 — a converged pair costs nothing extra,
+        # a burst gets out-waited instead of recorded.
         runs = []
-        for _ in range(2):
+        while len(runs) < 5:
             t0 = time.perf_counter()
             df = qd.fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+            if len(runs) >= 2:
+                b = sorted(runs)
+                if b[1] <= b[0] * 1.25:  # two reps agree → converged
+                    break
         timings[name] = round(min(runs), 3)
 
     if os.environ.get("SPARK_GRAFT_BENCH_DEDUP", "1") != "0":
