@@ -10,12 +10,13 @@ Scale design notes (the part that matters at 100 TB):
   self-equi-join on (band_idx, band_hash) — a shuffle keyed by band hash, so
   only colliding docs ever meet. Verification re-checks true Jaccard on the
   candidates only.
-- **SimHash**: 64-bit signature from md5 token hashes, computed entirely in
-  column expressions (explode → 64 bit indicators → partial-agg conditional
-  sums → majority pack — no Python anywhere); near-dup = Hamming distance
-  ≤ k via banded equality on 16-bit chunks (same LSH-join trick, pigeonhole:
-  d ≤ 3 ⇒ ≥1 of 4 chunks equal). md5 evaluates identically in DuckDB, so
-  the whole operator has a value-level SQL oracle (queries.py).
+- **SimHash**: 64-bit signature from xxhash64 token hashes, computed
+  entirely in column expressions (explode → packed vote lanes →
+  partial-agg sums → majority pack — no Python anywhere); near-dup =
+  Hamming distance ≤ k via banded equality on 16-bit chunks (same LSH-join
+  trick, pigeonhole: d ≤ 3 ⇒ ≥1 of 4 chunks equal). Spark's xxhash64 is
+  reproduced bit-exactly in SQL (duckdb_xxh64.py), so the whole operator
+  has a value-level oracle (queries.py).
 - **n-gram Jaccard**: exact verifier used on candidate pairs; standalone
   variant provided for small sides / tests.
 """
@@ -113,13 +114,15 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                    word_shingles(sf.col(text_col), n).alias("_sh"))
     exploded = sh.select(
         "id", sf.explode(sf.transform("_sh", lambda s: sf.xxhash64(s))).alias("_h"))
-    mins = exploded.select(
-        "id", *[sf.xxhash64("_h", sf.lit(i)).alias(f"_p{i}")
-                for i in range(num_hashes)]
+    # SQL-string construction for the num_hashes-wide blocks: one py4j call
+    # per column instead of ~5 — the Column-composed form spent ~0.4 s of
+    # driver time per build (see the matching note in simhash_signatures)
+    mins = exploded.selectExpr(
+        "id", *[f"xxhash64(_h, {i}) AS _p{i}" for i in range(num_hashes)]
     ).groupBy("id").agg(
-        *[sf.min(f"_p{i}").alias(f"_m{i}") for i in range(num_hashes)])
-    return mins.select(
-        "id", sf.array(*[sf.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"))
+        *[sf.expr(f"min(_p{i}) AS _m{i}") for i in range(num_hashes)])
+    sig_arr = ", ".join(f"_m{i}" for i in range(num_hashes))
+    return mins.selectExpr("id", f"array({sig_arr}) AS sig")
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -171,18 +174,15 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    banded = sig.select(
-        "id", "sig",
-        sf.explode(sf.array(*[
-            sf.struct(
-                sf.lit(b).alias("band_idx"),
-                sf.xxhash64(sf.concat_ws(
-                    ",", *[sf.element_at("sig", b * rows_per_band + r + 1)
-                           for r in range(rows_per_band)]
-                )).alias("band_hash"),
-            )
-            for b in range(bands)
-        ])).alias("band"),
+    band_structs = ", ".join(
+        "named_struct('band_idx', {b}, 'band_hash', xxhash64(concat_ws(',', "
+        "{elems})))".format(
+            b=b,
+            elems=", ".join(f"element_at(sig, {b * rows_per_band + r + 1})"
+                            for r in range(rows_per_band)))
+        for b in range(bands))
+    banded = sig.selectExpr(
+        "id", "sig", f"explode(array({band_structs})) AS band",
     ).select("id", "sig", "band.band_idx", "band.band_hash")
 
     l, r = banded.alias("l"), banded.alias("r")
@@ -242,10 +242,8 @@ def minhash_near_duplicates(
 # ---------------------------------------------------------------------------
 # SimHash — pure column expressions end to end (no Python kernel).
 #
-# Token hash: md5 is the one hash primitive Spark and DuckDB both evaluate
-# identically (hex digest over UTF-8 bytes), so the 64-bit token hash
-# (hex digits 1-15 → bits 0-59, digit 16 → bits 60-63) is exactly
-# reproducible in oracle SQL — queries.py renders the whole signature +
+# Token hash: Spark's native xxhash64, reproduced bit-exactly in SQL by
+# duckdb_xxh64.xxh64_string_ctes — queries.py renders the whole signature +
 # pair join in DuckDB and the driver value-hashes both sides.
 # ---------------------------------------------------------------------------
 
@@ -257,17 +255,23 @@ def simhash_tokens(text: Column) -> Column:
 
 
 def _token_hash64(tok: Column) -> Column:
-    """Signed 64-bit token hash from the first 16 hex digits of md5(token):
-    the value ``int(md5_hex[:16], 16)`` in two's complement.
+    """Signed 64-bit token hash: Spark's native ``xxhash64`` (XXH64, seed
+    42, UTF-8 bytes).
 
-    ``conv(hex, 16, 10)`` keeps each piece unsigned-safe: digits 1-15 (the
-    high 60 bits) are < 2^60 as a long; ``shiftleft 4`` wraps them into the
-    sign bit exactly like two's complement, and digit 16 fills bits 0-3.
-    """
-    hx = sf.md5(sf.encode(tok, "UTF-8"))
-    high60 = sf.conv(sf.substring(hx, 1, 15), 16, 10).cast("long")
-    low4 = sf.conv(sf.substring(hx, 16, 1), 16, 10).cast("long")
-    return sf.shiftleft(high60, 4).bitwiseOR(low4)
+    An earlier revision derived the hash from ``md5`` hex digits for oracle
+    parity; that crypto hash + hex-string fold was ~70% of the whole SimHash
+    operator's cost at sf0.1. The cross-engine oracle now reuses the
+    bit-exact SQL XXH64 rendering built for MinHash
+    (``duckdb_xxh64.xxh64_string_ctes``), so the Spark side gets the native
+    codegen primitive — same one-hash-per-token value contract, ~3× less
+    scan cost.
+
+    NULL stays NULL: Spark's ``xxhash64`` SKIPS null arguments and returns
+    the bare seed (42) — without the guard a tokenless document's
+    ``posexplode_outer`` null-token row would vote the bits of 42 into its
+    signature instead of falling through to signature 0."""
+    return sf.when(tok.isNull(), sf.lit(None).cast("long")).otherwise(
+        sf.xxhash64(tok))
 
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
@@ -279,7 +283,7 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     Shape mirrors :func:`minhash_signatures` with PACKED vote lanes
     (VERDICT r02 #4): explode the token multiset, then instead of 64
     single-bit aggregate columns, one codegen projection packs the 64 bit
-    indicators of the md5-derived token hash into 16 longs of 4×16-bit
+    indicators of the xxhash64 token hash into 16 longs of 4×16-bit
     lanes (long j, lane l ← bit 4j+l), and the token-granularity aggregate
     sums just those 16 longs + a count — the partial-agg state per group is
     17 longs, not 65, and the per-row update is shift-adds, not 64 CASE
@@ -317,42 +321,44 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     # (k, k') — all 16 positions {0..3, 15..18, 30..33, 45..48} are distinct
     # (no carries), and masking positions {0,16,32,48} keeps exactly bit k
     # in lane k. ~4× fewer codegen ops/token than per-bit shift-mask-shift.
-    _SPREAD_C = sf.lit((1 << 45) | (1 << 30) | (1 << 15) | 1)
-    _LANE_M = sf.lit((1 << 48) | (1 << 32) | (1 << 16) | 1)
+    #
+    # The repetitive 16/64-wide blocks are built as SQL-string expressions
+    # (selectExpr / one expr per agg column): composing them Column-by-Column
+    # cost ~800 py4j round trips ≈ 1.4 s of DRIVER time per query build —
+    # measured 3× the whole cluster-side execution at sf0.1. Same plan,
+    # same values; only the construction path changes.
+    spread_c = (1 << 45) | (1 << 30) | (1 << 15) | 1
+    lane_m = (1 << 48) | (1 << 32) | (1 << 16) | 1
 
-    def packed(j: int):
-        nibble = sf.shiftrightunsigned("_h", 4 * j).bitwiseAND(sf.lit(15))
-        return (nibble * _SPREAD_C).bitwiseAND(_LANE_M).alias(f"_p{j}")
-
-    lanes16 = h.select("id", "_salt", *[packed(j) for j in range(16)])
+    lanes16 = h.selectExpr(
+        "id", "_salt",
+        *[f"(shiftrightunsigned(_h, {4 * j}) & 15) * {spread_c}L"
+          f" & {lane_m}L AS _p{j}" for j in range(16)])
     partial = lanes16.groupBy("id", "_salt").agg(
-        sf.count("_p0").alias("_n"),
-        *[sf.sum(f"_p{j}").alias(f"_p{j}") for j in range(16)])
+        sf.expr("count(_p0) AS _n"),
+        *[sf.expr(f"sum(_p{j}) AS _p{j}") for j in range(16)])
 
-    def unpacked(i: int):
+    def unpacked(i: int) -> str:
         j, lane = divmod(i, 4)
-        return (sf.sum(sf.shiftrightunsigned(f"_p{j}", 16 * lane)
-                       .bitwiseAND(sf.lit(0xFFFF))).alias(f"_s{i}"))
+        return (f"sum(shiftrightunsigned(_p{j}, {16 * lane}) & 65535)"
+                f" AS _s{i}")
 
     votes = partial.groupBy("id").agg(
-        sf.sum("_n").alias("_n"), *[unpacked(i) for i in range(64)])
-    guarded_n = sf.when(
-        sf.col("_n") > cap,
-        sf.raise_error(sf.concat(
-            sf.lit(f"simhash vote lanes overflow: document has > {cap} "
-                   "tokens — raise salt_buckets for id "),
-            sf.col("id").cast("string")))).otherwise(sf.col("_n"))
+        sf.expr("sum(_n) AS _n"), *[sf.expr(unpacked(i)) for i in range(64)])
+    guard = (f"CASE WHEN _n > {cap} THEN raise_error(concat("
+             f"'simhash vote lanes overflow: document has > {cap} tokens"
+             f" — raise salt_buckets for id ', CAST(id AS STRING)))"
+             f" ELSE _n END")
     # disjoint bit contributions sum to the packed word; bit 63 is the sign
     # bit of the signed long, hence the -2^63 literal
-    return votes.select(
-        "id",
-        sum(
-            (sf.when(sf.col(f"_s{i}") * 2 > guarded_n,
-                     sf.lit(-(1 << 63) if i == 63 else (1 << i)))
-             .otherwise(sf.lit(0)).cast("long")
-             for i in range(64)),
-            start=sf.lit(0).cast("long"),
-        ).alias(out_col))
+    # bit 63: -2^63 itself does not parse as a literal (unary minus over an
+    # out-of-range positive), hence the two-term form
+    pack = " + ".join(
+        f"CAST(CASE WHEN _s{i} * 2 > {guard} THEN "
+        f"{'(-9223372036854775807L - 1L)' if i == 63 else f'{1 << i}L'}"
+        f" ELSE 0L END AS BIGINT)"
+        for i in range(64))
+    return votes.selectExpr("id", f"({pack}) AS {out_col}")
 
 
 def with_simhash(df: DataFrame, text_col: str = "text",

@@ -1458,13 +1458,17 @@ def q_dedup_components(spark, sf_dir):
 
 def _simhash_oracle_sql() -> str:
     """DuckDB rendering of the full SimHash near-dup operator, value-exact
-    against ops/dedup.py: md5 is the shared hash primitive (identical hex on
-    both engines), the 64-bit token hash is ``int(md5_hex[:16], 16)`` folded
-    from hex digits, per-bit majority via 64 generated sums ((h // 2^i) % 2
-    keeps everything HUGEINT — no shift-operator dependence), two's-complement
-    signing, then a brute-force Hamming ≤ 3 join (exactly the pair set the
-    4-chunk pigeonhole join admits, since d ≤ 3 ⇒ ≥ 1 chunk equal ⇒ no
-    candidate is missed and the verify filter is identical)."""
+    against ops/dedup.py: the 64-bit token hash is Spark's xxhash64,
+    reproduced bit-for-bit in SQL (duckdb_xxh64.xxh64_string_ctes — the
+    same rendering the MinHash oracle uses), per-bit majority via 64
+    generated sums ((h // 2^i) % 2 keeps everything HUGEINT — no
+    shift-operator dependence), two's-complement signing, then a
+    brute-force Hamming ≤ 3 join (exactly the pair set the 4-chunk
+    pigeonhole join admits, since d ≤ 3 ⇒ ≥ 1 chunk equal ⇒ no candidate
+    is missed and the verify filter is identical)."""
+    from br_doc_ocr_spark import duckdb_xxh64 as X
+
+    tok_hash = X.xxh64_string_ctes("toks", ["doc_id"], "tok", "h_s", "thx")
     sums = ",\n        ".join(
         f"sum((h // {1 << i}) % 2) AS s{i}" for i in range(64))
     pack = "\n          + ".join(
@@ -1482,14 +1486,12 @@ def _simhash_oracle_sql() -> str:
                                 x -> x <> '')) AS tok
       FROM corpus
     ),
+    {tok_hash},
     hashed AS (
       SELECT doc_id,
-             list_reduce(
-               list_prepend(0::HUGEINT,
-                 list_transform(string_split(substring(md5(tok), 1, 16), ''),
-                                c -> (strpos('0123456789abcdef', c) - 1)::HUGEINT)),
-               (a, d) -> a * 16 + d) AS h
-      FROM toks
+             CASE WHEN h_s < 0 THEN h_s::HUGEINT + {1 << 64}::HUGEINT
+                  ELSE h_s::HUGEINT END AS h
+      FROM thx_out
     ),
     votes AS (
       SELECT doc_id, count(*) AS n,
@@ -1516,10 +1518,11 @@ def _simhash_oracle_sql() -> str:
 
 @register(
     "dedup_simhash", _simhash_oracle_sql(),
-    "SimHash near-dup pairs (64-bit md5-vote signature, 16-bit-chunk "
-    "pigeonhole join) — value-level DuckDB oracle via the shared md5 primitive")
+    "SimHash near-dup pairs (64-bit xxhash64-vote signature, 16-bit-chunk "
+    "pigeonhole join) — value-level DuckDB oracle via the bit-exact SQL "
+    "XXH64 rendering (duckdb_xxh64.py)")
 def q_dedup_simhash(spark, sf_dir):
-    d = t_wide(spark, sf_dir, "documents")  # spread the md5/bit-vote projection
+    d = t_wide(spark, sf_dir, "documents")  # spread the hash/bit-vote projection
     mutated = d.filter(sf.col("doc_id") % 5 == 0).select(
         (sf.col("doc_id") + 1000000).alias("doc_id"),
         sf.concat(sf.col("text"), sf.lit(" zz")).alias("text"))

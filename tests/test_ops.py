@@ -71,16 +71,17 @@ def test_simhash_near_duplicates(docs):
 
 
 def _simhash64_py(text: str) -> int:
-    """Independent scalar model of the column-expression SimHash: md5-derived
-    64-bit token hashes, per-bit majority vote, signed two's-complement."""
-    import hashlib
+    """Independent scalar model of the column-expression SimHash: XXH64
+    (seed 42 — Spark's xxhash64) token hashes via the pure-Python spec model
+    from test_duckdb_xxh64, per-bit majority vote, signed two's-complement."""
+    from test_duckdb_xxh64 import xxh64
 
     tokens = text.lower().split()
     if not tokens:
         return 0
     votes = [0] * 64
     for tok in tokens:
-        h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+        h = xxh64(tok.encode()) & ((1 << 64) - 1)
         for i in range(64):
             votes[i] += (h >> i) & 1
     out = sum(1 << i for i in range(64) if votes[i] * 2 > len(tokens))
