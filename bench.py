@@ -351,7 +351,7 @@ def main() -> None:
                 s_hi.stop()
             else:
                 spark = s_hi  # final spark.stop() below closes it
-        t_low_eq = min(runs_low_eq)
+        t_low_eq = min(runs_low_eq) if runs_low_eq else elapsed_low
         t_hi_eq = min(runs_hi_eq + runs_hi)
         eff_eq = round((n_scale / t_hi_eq)
                        / ((n_scale / t_low_eq) * (hi_cpus / low_cpus)), 3)
