@@ -1730,7 +1730,7 @@ def _langid_oracle_sql() -> str:
     "language-ID stopword heuristic vs the lang label — accuracy per lang")
 def q_text_langid(spark, sf_dir):
     d = t_wide(spark, sf_dir, "documents")
-    pred = textstats.predict_lang(sf.col("text"))
+    pred = textstats.predict_lang("text")
     return (d.select("lang", pred.alias("lang_pred"))
             .groupBy("lang")
             .agg(sf.round(sf.avg((sf.col("lang_pred") == sf.col("lang"))

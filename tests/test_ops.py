@@ -237,6 +237,29 @@ def test_predict_lang(spark):
     assert out == ["en", "es", "de", "und"]
 
 
+def test_predict_lang_sql_path_matches_column_path(spark):
+    """The single-parse SQL build path must produce identical predictions to
+    the composable Column path on every language in the table plus CJK,
+    mixed, and empty inputs."""
+    samples = [
+        ("the cat sat on the mat and looked at the dog",),
+        ("el perro y el gato de la casa que ladra",),
+        ("这是 一个 的 测试 文本 我们 和 他们",),
+        ("これ は テスト です の ます した",),
+        ("것 이 있 하 그 되 수 에서",),
+        ("the 的 der die le la und est och att",),  # code-mixed tie-break
+        ("",),
+        ("xyzzy plugh quux 12345",),
+        ("o rato roeu a roupa do rei de roma e não deixou nada para que",),
+    ]
+    df = spark.createDataFrame(samples, "text string")
+    col_path = [r[0] for r in
+                df.select(textstats.predict_lang(sf.col("text"))).collect()]
+    sql_path = [r[0] for r in
+                df.select(textstats.predict_lang("text")).collect()]
+    assert sql_path == col_path
+
+
 def test_quality_score_ordering(spark):
     df = spark.createDataFrame([
         ("the report of the analysis and the data in the table of results "
