@@ -39,7 +39,10 @@ def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Brute-force cosine top-k vs a literal query vector (the exact baseline
     every ANN variant is verified against). Deterministic tie-break on id."""
-    q = sf.array(*[sf.lit(float(v)) for v in query_vec])
+    # one parsed literal array, not len(dim) py4j lit() round trips; repr()
+    # keeps full double precision (repr(float) round-trips exactly)
+    q = sf.expr(
+        f"array({', '.join(f'{float(v)!r}D' for v in query_vec)})")
     scored = embeddings.select(
         sf.col(id_col),
         sf.round(cosine(sf.col(vec_col).cast("array<double>"), q), 6).alias("cosine"),
@@ -257,14 +260,17 @@ def cosine_topk_int8(embeddings: DataFrame, query_vec: list[float],
         q_codes = [int(max(min(math.floor(x / q_scale + 0.5), 127), -127))
                    for x in query_vec]
     ss_q = float(sum(c * c for c in q_codes))
-    qc = sf.array(*[sf.lit(c) for c in q_codes])
     coded = quantize_embeddings(embeddings, vec_col=vec_col)
-    int_dot = sf.aggregate(
-        sf.zip_with(sf.col("q_codes"), qc, lambda x, y: (x * y).cast("long")),
-        sf.lit(0).cast("long"), lambda acc, x: acc + x)
-    ss_c = sf.aggregate(
-        sf.transform(sf.col("q_codes"), lambda x: (x * x).cast("long")),
-        sf.lit(0).cast("long"), lambda acc, x: acc + x).cast("double")
+    # scoring emitted as SQL strings: the zip_with/aggregate lambda pipeline
+    # built Column-by-Column cost ~0.3 s of py4j round trips per plan build;
+    # one parsed expression each, identical tree (oracle + plan tests pin it)
+    qc = f"array({', '.join(str(c) for c in q_codes)})"
+    int_dot = sf.expr(
+        f"aggregate(zip_with(q_codes, {qc}, "
+        f"(x, y) -> cast(x * y as long)), cast(0 as long), (acc, x) -> acc + x)")
+    ss_c = sf.expr(
+        "cast(aggregate(transform(q_codes, x -> cast(x * x as long)), "
+        "cast(0 as long), (acc, x) -> acc + x) as double)")
     cos_q = sf.when(ss_c == 0.0, sf.lit(0.0)).otherwise(
         int_dot / (sf.sqrt(ss_c) * sf.lit(math.sqrt(ss_q))))
     scored = coded.select(sf.col(id_col), int_dot.alias("int_dot"),
