@@ -260,6 +260,50 @@ def test_predict_lang_sql_path_matches_column_path(spark):
     assert sql_path == col_path
 
 
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame([
+        # 4 non-blank lines, 'spam' three times → dup_line_frac = 1 - 2/4;
+        # chars: all=4+4+4+5=17 distinct='spam'+'clean'=9 → 1-9/17
+        ("a", "spam\nspam\n\nspam\nclean"),
+        # tokens: the cat sat the cat sat the cat → 6 3-grams, distinct 3
+        # ('the cat sat', 'cat sat the', 'sat the cat') → dup = 1 - 3/6
+        ("b", "the cat sat the cat sat the cat"),
+        ("c", ""),                       # empty → all zeros
+        ("d", "unique lines only\nhere"),  # no repeats → 0.0 line fracs
+    ], "doc_id string, text string")
+    rows = {r["doc_id"]: r for r in
+            textstats.repetition_stats(df, ngram_n=3).collect()}
+    assert rows["a"]["dup_line_frac"] == 0.5
+    assert rows["a"]["dup_line_char_frac"] == pytest.approx(1 - 9 / 17, abs=1e-6)
+    assert rows["b"]["dup_ngram_frac"] == 0.5
+    assert rows["c"]["dup_line_frac"] == 0.0
+    assert rows["c"]["dup_line_char_frac"] == 0.0
+    assert rows["c"]["dup_ngram_frac"] == 0.0
+    assert rows["d"]["dup_line_frac"] == 0.0
+    assert rows["d"]["dup_line_char_frac"] == 0.0
+
+
+def test_top_ngram_share(spark):
+    df = spark.createDataFrame([
+        # bigrams: 'the cat','cat sat','sat the','the cat','cat sat' →
+        # top 'cat sat'/'the cat' both 2/5; tie breaks lexicographically
+        ("a", "the cat sat the cat sat"),
+        ("b", "one two",),               # single bigram → share 1.0
+    ], "doc_id string, text string")
+    rows = {r["id"]: r for r in
+            textstats.top_ngram_share(df, ngram_n=2).collect()}
+    assert rows["a"]["top_ngram"] == "cat sat"
+    assert rows["a"]["top_ngram_share"] == pytest.approx(2 / 5, abs=1e-6)
+    assert rows["b"]["top_ngram"] == "one two"
+    assert rows["b"]["top_ngram_share"] == 1.0
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    df = spark.createDataFrame([("a", "x\nx")], "doc_id string, text string")
+    plan = textstats.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_quality_score_ordering(spark):
     df = spark.createDataFrame([
         ("the report of the analysis and the data in the table of results "
