@@ -93,6 +93,16 @@ _FORMATTED_BY_LEN: dict[int, tuple[str, re.Pattern[str]]] = {
 }
 _ORGAO_TOKEN = re.compile(r"(?:SSP|DETRAN|PC|IFP|SDS|SESP|IGP)-[A-Z]{2}|IIRGD")
 
+# Digit-led candidates classify ONLY at these exact lengths (pure-digit
+# 44/14/11 plus the fixed-width formatted patterns above); any other length
+# can still produce a field solely through the '-'-merged-run recovery,
+# which requires a '/'-formatted part of length ≥ 10 and therefore a '-'
+# inside a span of length ≥ 12. scan_fields uses this to reject the
+# dominant short-digit-run candidates (~60% in transcript payloads) on span
+# arithmetic alone — no match-string allocation, no classify call.
+_DIGIT_CLASSIFIABLE_LENS = frozenset(
+    set(_DIGIT_ONLY_BY_LEN) | set(_FORMATTED_BY_LEN))
+
 
 def _classify_token(token: str) -> str | None:
     c0 = token[0]
@@ -148,6 +158,11 @@ def scan_fields(
             start, end = m.span("cat")
         else:
             start, end = m.span()
+            if text[start].isdigit():
+                length = end - start
+                if length not in _DIGIT_CLASSIFIABLE_LENS and (
+                        length < 12 or text.find("-", start, end) == -1):
+                    continue
             name = classify(m.group())
             if name is None:
                 # recovery for value runs merged through '-' by the maximal

@@ -145,7 +145,12 @@ class _BlockCollector:
             # (~70% of flush calls are empty-buffer block boundaries).
             return
         raw = "".join(self._buf)
-        text = _WS.sub(" ", raw).strip()
+        # str.strip() and the \s regex class agree on every Unicode
+        # codepoint (verified exhaustively), so stripping BEFORE the
+        # whitespace-collapse sub yields the same text as sub-then-strip
+        # while reusing the stripped string for the link-share denominator.
+        stripped = raw.strip()
+        text = _WS.sub(" ", stripped)
         self._buf.clear()
         link_chars = min(self._link_chars, len(raw))
         self._link_chars = 0
@@ -153,7 +158,7 @@ class _BlockCollector:
             self.blocks.append({
                 "text": text,
                 "boiler": self._boiler_depth > 0,
-                "link_share": link_chars / max(len(raw.strip()), 1),
+                "link_share": link_chars / max(len(stripped), 1),
             })
 
     def _start(self, tag: str, attrs: str) -> None:
