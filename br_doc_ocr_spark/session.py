@@ -46,6 +46,12 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # --- scan sizing: 128 MiB splits, the parquet sweet spot ---
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # --- cached-batch sizing: the DISK_ONLY kernel-output cache stores
+        # columnar batches; the 10 000-row default holds ~10-60 MiB per batch
+        # with KB-scale text columns, and 32 concurrent scan tasks × build +
+        # decompress spikes OOMed a 24 g heap at 20M rows. 1 000 rows bounds
+        # the per-task batch working set ~10× at negligible scan cost. ---
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "1000")
         # --- small-file control on sinks ---
         .config("spark.sql.files.maxRecordsPerFile", "2000000")
         .config("spark.sql.parquet.compression.codec", "snappy")

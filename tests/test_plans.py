@@ -273,3 +273,8 @@ def test_heap_scales_with_task_concurrency(spark, monkeypatch):
     assert driver_memory_for(32) == "24g"  # scales with cores
     monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "64g")
     assert driver_memory_for(32) == "64g"  # env override wins
+    # cached-batch rows bounded: the DISK_ONLY kernel-output cache holds
+    # KB-scale text columns, and the 10 000-row default made build/decompress
+    # spikes that OOMed the 24 g heap at 20M rows (session.py rationale)
+    assert spark.conf.get(
+        "spark.sql.inMemoryColumnarStorage.batchSize") == "1000"
