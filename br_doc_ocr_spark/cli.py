@@ -48,11 +48,18 @@ def cmd_extract(args) -> int:
         from br_doc_ocr_spark.core.schemas import load_schema
 
         schema = load_schema(args.schema)
+    redact = None
+    if args.redact:
+        from br_doc_ocr_spark.core.extract import DEFAULT_REDACT_FIELDS
+
+        redact = (DEFAULT_REDACT_FIELDS if args.redact == "ids" else
+                  frozenset(f.strip() for f in args.redact.split(",")
+                            if f.strip()))
     run_pipeline(
         spark, args.input, output_path=args.output,
         lineage_path=args.lineage, salt=args.salt, run_id=args.run_id,
         max_payload_chars=args.max_payload_chars, schema=schema,
-        drop_confidence=args.no_confidence)
+        drop_confidence=args.no_confidence, redact_fields=redact)
     # summarize the WRITTEN parquet — aggregating the returned frame would
     # re-run the whole kernel (run_pipeline unpersists its cache on return)
     summary = {r["status"]: r["n"] for r in
@@ -238,6 +245,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="strip confidence_scores/low_confidence_fields from "
                         "the output (reference --confidence off, "
                         "cli/extract.py:130-137)")
+    p.add_argument("--redact", default=None, metavar="FIELDS",
+                   help="append a redacted_text column with detected spans "
+                        "of these fields masked; comma-separated field "
+                        "names, or 'ids' for the identifier set "
+                        "(cpf,cnpj,registro_geral,chave_acesso)")
     p.set_defaults(func=cmd_extract)
 
     p = sub.add_parser("extract-one",

@@ -230,7 +230,8 @@ OUTPUT_SCHEMA_DDL = (
 
 
 def extract_turn(text: str | None,
-                 allowed_fields: frozenset[str] | None = None) -> dict[str, Any]:
+                 allowed_fields: frozenset[str] | None = None,
+                 redact_fields: frozenset[str] | None = None) -> dict[str, Any]:
     """Full per-turn pipeline on one payload (kind → content → fields →
     confidence → flags → status). Reference analog: ``extraction.py:139-236``
     minus the model call, plus main-content extraction.
@@ -243,13 +244,18 @@ def extract_turn(text: str | None,
     reference filters before flagging."""
     kind, content = textops.extract_main_content(text)
     fields, spans, scores = scan_fields(text or "")
+    if redact_fields is not None:
+        # masked over the UNFILTERED spans: a schema projection narrows the
+        # reported view, but scrubbing must not silently skip an identifier
+        # the scanner detected just because the schema dropped the field
+        redacted = redact_text(text, spans, redact_fields)
     if allowed_fields is not None:
         fields = {k: v for k, v in fields.items() if k in allowed_fields}
         scores = {k: v for k, v in scores.items() if k in allowed_fields}
         spans = [s for s in spans if s["field"] in allowed_fields]
     low_conf = F.flag_low_confidence(scores)
     status = F.derive_status(fields, low_conf)
-    return {
+    row = {
         "payload_kind": kind,
         "extracted_text": content,
         "fields": fields,
@@ -259,6 +265,9 @@ def extract_turn(text: str | None,
         "n_fields": len(fields),
         "status": status,
     }
+    if redact_fields is not None:
+        row["redacted_text"] = redacted
+    return row
 
 
 def schema_field_names(schema: dict[str, Any] | None) -> frozenset[str] | None:
@@ -278,8 +287,49 @@ def schema_field_names(schema: dict[str, Any] | None) -> frozenset[str] | None:
     return frozenset(names)
 
 
+# ---------------------------------------------------------------------------
+# PII redaction (beyond-reference training-data op): mask detected field
+# spans in the raw payload so the text can feed a training corpus without
+# carrying the identifiers the scanner found. Span offsets index the RAW
+# payload (FIXTURES.md §2), so masking is exact — no second regex pass, no
+# pattern drift between detection and scrubbing.
+# ---------------------------------------------------------------------------
+
+# Identifier fields masked by default; `data`/`valor`/`orgao_emissor`/
+# `categoria_habilitacao` are attributes, not identifiers, and stay.
+DEFAULT_REDACT_FIELDS = frozenset(
+    {"cpf", "cnpj", "registro_geral", "chave_acesso"})
+
+
+def redact_text(text: str | None, spans: list[dict[str, Any]],
+                redact_fields: frozenset[str]) -> str | None:
+    """Mask every span of a redacted field with ``[FIELD]`` (uppercased).
+
+    Spans are non-overlapping by construction (the scanner's tokenizer is a
+    non-overlapping ``finditer`` and recovery offsets partition a token), so
+    a single left-to-right splice is exact. Unknown field names are ignored;
+    None text passes through.
+    """
+    if text is None or not spans:
+        return text
+    hits = sorted(
+        (s for s in spans if s["field"] in redact_fields),
+        key=lambda s: s["start"])
+    if not hits:
+        return text
+    parts: list[str] = []
+    pos = 0
+    for s in hits:
+        parts.append(text[pos:s["start"]])
+        parts.append(f"[{s['field'].upper()}]")
+        pos = s["end"]
+    parts.append(text[pos:])
+    return "".join(parts)
+
+
 def extract_batch(batch: pd.DataFrame,
-                  allowed_fields: frozenset[str] | None = None) -> pd.DataFrame:
+                  allowed_fields: frozenset[str] | None = None,
+                  redact_fields: frozenset[str] | None = None) -> pd.DataFrame:
     """Vectorized-at-the-boundary batch kernel: pandas in → pandas out.
 
     Row-wise work happens inside the Arrow batch (regex scanning is inherently
@@ -287,22 +337,31 @@ def extract_batch(batch: pd.DataFrame,
     Per-row failures are captured into ``status='error'`` rows instead of
     failing the task — the reference's batch error channel
     (``cli/batch.py:155-160``).
+
+    ``redact_fields`` (PII scrubbing) appends a ``redacted_text`` column —
+    the raw payload with every detected span of those fields masked; the
+    base schema is unchanged when it is None.
     """
     n = len(batch)
-    out: dict[str, list[Any]] = {c: [None] * n for c in (
+    cols = [
         "payload_kind", "extracted_text", "fields", "spans",
         "confidence_scores", "low_confidence_fields", "n_fields", "status",
-    )}
+    ]
+    if redact_fields is not None:
+        cols.append("redacted_text")
+    out: dict[str, list[Any]] = {c: [None] * n for c in cols}
     texts = batch["text"].tolist()
     for i, text in enumerate(texts):
         try:
-            row = extract_turn(text, allowed_fields)
+            row = extract_turn(text, allowed_fields, redact_fields)
         except Exception:
             row = {
                 "payload_kind": "unknown", "extracted_text": "",
                 "fields": {}, "spans": [], "confidence_scores": {},
                 "low_confidence_fields": [], "n_fields": 0, "status": "error",
             }
+            if redact_fields is not None:
+                row["redacted_text"] = None
         for key, value in row.items():
             out[key][i] = value
 
@@ -314,7 +373,9 @@ def extract_batch(batch: pd.DataFrame,
         "ts": batch["ts"].values,
         **out,
     })
-    return result[OUTPUT_COLUMNS]
+    columns = OUTPUT_COLUMNS + (["redacted_text"]
+                                if redact_fields is not None else [])
+    return result[columns]
 
 
 def extract_batches(batches: Iterable[pd.DataFrame],

@@ -45,13 +45,22 @@ LINEAGE_SCHEMA_DDL = (
 EXTRACT_WITH_LINEAGE_DDL = OUTPUT_SCHEMA_DDL + ", _partition_id int, _batch_ms long"
 
 
+def _extract_ddl(redact: bool) -> str:
+    """Kernel-output DDL for mapInPandas; `redacted_text` rides between the
+    kernel columns and the lineage tags exactly where extract_batch emits
+    it, so name- and position-matching modes both line up."""
+    base = OUTPUT_SCHEMA_DDL + (", redacted_text string" if redact else "")
+    return base + ", _partition_id int, _batch_ms long"
+
+
 def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     """Scan the transcript table, projecting exactly the job's columns so
     Catalyst prunes the parquet read to them."""
     return spark.read.parquet(path).select(*TRANSCRIPT_COLUMNS)
 
 
-def _extract_partition(allowed_fields: frozenset[str] | None):
+def _extract_partition(allowed_fields: frozenset[str] | None,
+                       redact_fields: frozenset[str] | None = None):
     """Build the per-partition kernel closure. One task = one partition.
     Emits extraction rows tagged with the task's partition id and per-batch
     wall-clock (first row of each batch carries the batch's elapsed ms; the
@@ -66,7 +75,7 @@ def _extract_partition(allowed_fields: frozenset[str] | None):
             if not len(batch):
                 continue
             t0 = time.perf_counter()
-            out = extract_batch(batch, allowed_fields)
+            out = extract_batch(batch, allowed_fields, redact_fields)
             elapsed_ms = int((time.perf_counter() - t0) * 1000)
             out["_partition_id"] = pid
             ms = [0] * len(out)
@@ -84,6 +93,7 @@ def run_extraction(
     schema: dict | None = None,
     persist: bool = False,
     max_payload_chars: int | None = None,
+    redact_fields: frozenset[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the extraction stage → (results, lineage).
 
@@ -103,6 +113,11 @@ def run_extraction(
     blowing up a Python worker's Arrow batch. Short payloads pass through
     unchanged (substring never pads); off by default.
 
+    ``redact_fields`` (PII scrubbing, a training-data op beyond the
+    reference) appends a ``redacted_text`` column: the raw payload with
+    every detected span of those fields masked as ``[FIELD]`` —
+    ``core.extract.DEFAULT_REDACT_FIELDS`` covers the identifier fields.
+
     ``persist=True`` materializes the kernel output (memory, spilling to
     executor disk) so that consuming BOTH returned frames runs the kernel
     once, not twice — required whenever results AND lineage are acted on
@@ -118,8 +133,8 @@ def run_extraction(
         n, sf.col("conv_id"), sf.pmod(sf.col("turn_idx"), sf.lit(salt))
     )
     extracted = salted.mapInPandas(
-        _extract_partition(schema_field_names(schema)),
-        schema=EXTRACT_WITH_LINEAGE_DDL)
+        _extract_partition(schema_field_names(schema), redact_fields),
+        schema=_extract_ddl(redact_fields is not None))
     if persist:
         from pyspark import StorageLevel
 
@@ -178,6 +193,7 @@ def run_pipeline(
     max_payload_chars: int | None = None,
     schema: dict | None = None,
     drop_confidence: bool = False,
+    redact_fields: frozenset[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """End-to-end: read → salted extract → order → (optionally) write.
 
@@ -194,7 +210,8 @@ def run_pipeline(
     results, lineage = run_extraction(transcripts, salt=salt,
                                       persist=bool(output_path),
                                       max_payload_chars=max_payload_chars,
-                                      schema=schema)
+                                      schema=schema,
+                                      redact_fields=redact_fields)
     if drop_confidence:
         dropped = results.drop("confidence_scores", "low_confidence_fields")
         dropped._extraction_cache = getattr(results, "_extraction_cache", None)

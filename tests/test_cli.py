@@ -161,3 +161,22 @@ def test_classify_requires_input_or_text(capsys):
 
 def test_classify_input_and_text_mutually_exclusive(capsys):
     assert cli.main(["classify", "--input", "x.parquet", "--text", "y"]) == 2
+
+
+def test_extract_redact_flag(spark, tiny_transcripts_path, tmp_path, capsys):
+    """--redact ids appends redacted_text with every identifier span masked;
+    --redact with an explicit list masks only those fields."""
+    payload = run_cli(
+        capsys, "extract", "--input", tiny_transcripts_path,
+        "--output", str(tmp_path / "out"), "--redact", "ids")
+    assert sum(payload["status_counts"].values()) == 548
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert "redacted_text" in got.columns
+    from pyspark.sql import functions as sf
+
+    masked = got.filter(sf.col("redacted_text").contains("[CPF]")).count()
+    assert masked > 0
+    # formatted CPFs never survive in the masked column
+    leaked = got.filter(sf.col("redacted_text").rlike(
+        r"\d{3}\.\d{3}\.\d{3}-\d{2}")).count()
+    assert leaked == 0

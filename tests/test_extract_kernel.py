@@ -104,10 +104,10 @@ def test_kernel_error_channel_captures_row_failures(monkeypatch):
 
     original = ex.extract_turn
 
-    def exploding(text, allowed=None):
+    def exploding(text, allowed=None, redact=None):
         if text == "BOOM":
             raise RuntimeError("synthetic kernel failure")
-        return original(text, allowed)
+        return original(text, allowed, redact)
 
     monkeypatch.setattr(ex, "extract_turn", exploding)
     batch = pd.DataFrame({
@@ -192,3 +192,49 @@ def test_merged_run_recovery_limited_to_slash_formatted_parts():
     assert f["data"] == "2020-02-01"
     f, s, _ = scan_fields("periodo 99/99/2020-88/88/2020")
     assert "data" not in f and s == []
+
+
+def test_redact_text_masks_exact_spans():
+    """PII scrubbing masks exactly the detected span ranges of the requested
+    fields and leaves every other character untouched."""
+    from br_doc_ocr_spark.core.extract import (
+        DEFAULT_REDACT_FIELDS, extract_turn, redact_text, scan_fields)
+
+    t = "CPF 123.456.789-00 valor R$ 10,50 CNPJ 12.345.678/0001-90 fim"
+    fields, spans, _ = scan_fields(t)
+    assert {"cpf", "cnpj", "valor"} <= set(fields)
+    red = redact_text(t, spans, DEFAULT_REDACT_FIELDS)
+    assert red == "CPF [CPF] valor R$ 10,50 CNPJ [CNPJ] fim"
+    # non-identifier fields stay unless requested explicitly
+    red_all = redact_text(t, spans, frozenset({"valor"}))
+    assert red_all == "CPF 123.456.789-00 valor [VALOR] CNPJ 12.345.678/0001-90 fim"
+    # extract_turn carries the column only when asked, over UNFILTERED spans
+    row = extract_turn(t, redact_fields=DEFAULT_REDACT_FIELDS)
+    assert row["redacted_text"] == red
+    assert "redacted_text" not in extract_turn(t)
+
+
+def test_redact_text_edge_cases():
+    from br_doc_ocr_spark.core.extract import redact_text
+
+    assert redact_text(None, [{"field": "cpf", "start": 0, "end": 1}],
+                       frozenset({"cpf"})) is None
+    assert redact_text("abc", [], frozenset({"cpf"})) == "abc"
+    # adjacent spans splice cleanly; unknown fields ignored
+    t = "1234567890123456789012345"
+    spans = [{"field": "cpf", "start": 0, "end": 11},
+             {"field": "cnpj", "start": 11, "end": 25},
+             {"field": "nope", "start": 3, "end": 5}]
+    assert redact_text(t, spans, frozenset({"cpf", "cnpj"})) == "[CPF][CNPJ]"
+
+
+def test_redact_uses_unfiltered_spans_under_schema_projection():
+    """A schema projection narrows the reported fields but must not skip
+    scrubbing an identifier the scanner detected."""
+    from br_doc_ocr_spark.core.extract import extract_turn
+
+    t = "CPF 123.456.789-00 data 15/05/1990"
+    row = extract_turn(t, allowed_fields=frozenset({"data"}),
+                       redact_fields=frozenset({"cpf"}))
+    assert "cpf" not in row["fields"]          # projected away
+    assert "[CPF]" in row["redacted_text"]     # still scrubbed

@@ -159,3 +159,43 @@ def test_results_invariant_to_parallelism_and_salt(spark, tiny_transcripts_path)
         frames.append(_normalize(results.toPandas()))
     pd.testing.assert_frame_equal(frames[0], frames[1], check_dtype=False)
     pd.testing.assert_frame_equal(frames[0], frames[2], check_dtype=False)
+
+
+def test_redact_fields_appends_masked_column(spark, tiny_transcripts_path):
+    """PII scrubbing end-to-end: redacted_text equals the kernel's
+    redact_text over the raw payload + detected spans for every row, no
+    masked identifier survives, and the base columns are byte-identical to
+    the non-redacting run."""
+    from br_doc_ocr_spark.core.extract import (
+        DEFAULT_REDACT_FIELDS, redact_text)
+
+    results, _ = pipeline.run_extraction(
+        pipeline.read_transcripts(spark, tiny_transcripts_path),
+        salt=8, redact_fields=DEFAULT_REDACT_FIELDS)
+    got = results.toPandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert "redacted_text" in got.columns
+
+    raw = pd.read_parquet(tiny_transcripts_path).sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(got) == len(raw)
+    n_masked = 0
+    for i in range(len(got)):
+        spans = [dict(d) for d in got.loc[i, "spans"]]
+        expect = redact_text(raw.loc[i, "text"], spans,
+                             DEFAULT_REDACT_FIELDS)
+        assert got.loc[i, "redacted_text"] == expect
+        red = got.loc[i, "redacted_text"] or ""
+        for f in DEFAULT_REDACT_FIELDS:
+            for d in spans:
+                if d["field"] == f:
+                    n_masked += 1
+                    val = raw.loc[i, "text"][d["start"]:d["end"]]
+                    assert val not in red or val in f"[{f.upper()}]"
+    assert n_masked > 0  # the fixture must actually exercise masking
+
+    plain, _ = pipeline.run_extraction(
+        pipeline.read_transcripts(spark, tiny_transcripts_path), salt=8)
+    a = _normalize(got[OUTPUT_COLUMNS])
+    b = _normalize(plain.toPandas())
+    pd.testing.assert_frame_equal(a, b)
