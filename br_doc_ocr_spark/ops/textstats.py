@@ -409,3 +409,52 @@ def with_fingerprint(df: DataFrame, text_col: str = "text",
             yield batch
 
     return df.mapInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# One-call corpus curation — the composed pretraining filter (C4/Gopher
+# pipeline shape, public: Raffel et al. 2020 §2.2, Rae et al. 2021 §A1.1):
+# token bounds + quality floor + repetition ceilings + language allowlist,
+# evaluated per document with an auditable reason list.
+# ---------------------------------------------------------------------------
+
+
+def curate_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 8,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.3,
+    max_dup_line_frac: float = 0.30,
+    max_dup_ngram_frac: float = 0.50,
+    allowed_langs: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Annotate every document with the full filter verdict:
+    ``n_tokens / punct_ratio / quality / lang_pred / dup_* fractions``, plus
+    ``drop_reasons array<string>`` (empty = clean) and ``keep boolean``.
+
+    Deliberately annotate-don't-delete: the caller filters with
+    ``.filter("keep")`` and can aggregate ``drop_reasons`` for a corpus
+    audit (what share died to which rule — the number a curation run is
+    judged by). Everything is per-row column expressions — map-only,
+    shuffle-free (plan-tested), so it composes with any scan at 100 TB
+    scan cost; the one aggregate signal (top-n-gram share) stays a
+    separate opt-in pass (:func:`top_ngram_share`).
+    """
+    out = repetition_stats(with_text_stats(df, text_col), text_col)
+    checks = [
+        (f"n_tokens < {int(min_tokens)}", "too_short"),
+        (f"n_tokens > {int(max_tokens)}", "too_long"),
+        (f"quality < {float(min_quality)}", "low_quality"),
+        (f"dup_line_frac > {float(max_dup_line_frac)}", "dup_lines"),
+        (f"dup_ngram_frac > {float(max_dup_ngram_frac)}", "dup_ngrams"),
+    ]
+    if allowed_langs is not None:
+        langs = ", ".join(f"'{l}'" for l in sorted(allowed_langs))
+        checks.append((f"lang_pred NOT IN ({langs})", "lang"))
+    reasons = ", ".join(
+        f"CASE WHEN {cond} THEN '{tag}' END" for cond, tag in checks)
+    return out.withColumn(
+        "drop_reasons",
+        sf.expr(f"filter(array({reasons}), x -> x IS NOT NULL)"),
+    ).withColumn("keep", sf.expr("size(drop_reasons) = 0"))

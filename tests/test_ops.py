@@ -592,3 +592,38 @@ def test_cosine_topk_int8_zero_vector_scores_zero(spark):
            similarity.cosine_topk_int8(df, [1.0, 0.0], k=3).collect()}
     assert out[1]["cosine_q"] == 0.0 and out[1]["int_dot"] == 0
     assert out[0]["cosine_q"] == 1.0
+
+
+def test_curate_documents_reasons_and_keep(spark):
+    """Each curation rule fires alone on a doc built to violate exactly it;
+    a clean doc keeps with an empty reason list."""
+    clean = ("the quick brown fox jumps over the lazy dog and then "
+             "walks away to find some other interesting place to rest")
+    df = spark.createDataFrame([
+        ("clean", clean),
+        ("short", "tiny doc"),                       # < 8 tokens
+        ("dupl", clean + ("\nspam line\n" * 10)),    # dup_line_frac > 0.3
+        ("dupg", "the cat sat " * 30),               # dup_ngram_frac > 0.5
+        ("lang", "el perro grande corre por la calle hacia una casa "
+                 "blanca donde vive el gato con los otros animales"),
+    ], "doc_id string, text string")
+    out = {r["doc_id"]: r for r in textstats.curate_documents(
+        df, min_quality=0.0, allowed_langs=("en", "und")).collect()}
+    assert out["clean"]["keep"] and out["clean"]["drop_reasons"] == []
+    assert out["short"]["drop_reasons"] == ["too_short"]
+    assert "dup_lines" in out["dupl"]["drop_reasons"]
+    assert "dup_ngrams" in out["dupg"]["drop_reasons"]
+    assert out["lang"]["drop_reasons"] == ["lang"]
+    assert not out["lang"]["keep"]
+    # thresholds are real dials: loosening them keeps everything
+    loose = textstats.curate_documents(
+        df, min_tokens=0, min_quality=0.0, max_dup_line_frac=1.0,
+        max_dup_ngram_frac=1.0)
+    assert all(r["keep"] for r in loose.collect())
+
+
+def test_curate_documents_is_shuffle_free(spark):
+    df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    plan = (textstats.curate_documents(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan

@@ -204,3 +204,31 @@ def test_duckdb_xxh64_equals_spec_on_arbitrary_unicode(texts):
     want = {i: _signed(xxh64(s.encode("utf-8"), 42))
             for i, s in enumerate(texts)}
     assert got == want
+
+
+@given(st.text(alphabet="0123456789.-/ abCPFNJRG$R,", max_size=300),
+       st.sets(st.sampled_from(["cpf", "cnpj", "registro_geral",
+                                "chave_acesso", "data", "valor"]),
+               max_size=6))
+@settings(max_examples=300, deadline=None)
+def test_redact_text_reconstruction_and_no_leak(s, redact):
+    """For ANY payload: redaction preserves every character outside the
+    masked spans in order, replaces each masked span with its [FIELD]
+    token, and no masked span's original text survives at its position."""
+    from br_doc_ocr_spark.core.extract import redact_text
+
+    redact = frozenset(redact)
+    _, spans, _ = scan_fields(s)
+    red = redact_text(s, spans, redact)
+    # manual splice over sorted masked spans reproduces redact_text
+    hits = sorted((x for x in spans if x["field"] in redact),
+                  key=lambda x: x["start"])
+    parts, pos = [], 0
+    for x in hits:
+        parts.append(s[pos:x["start"]])
+        parts.append("[" + x["field"].upper() + "]")
+        pos = x["end"]
+    parts.append(s[pos:])
+    assert red == "".join(parts)
+    if not hits:
+        assert red == s
