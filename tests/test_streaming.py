@@ -193,3 +193,31 @@ def test_stream_dedup_suppresses_repeated_content_across_batches(spark,
     n_distinct_payloads = len(set(base["text"]) | set(fresh["text"]))
     assert len(out) == n_distinct_payloads
     assert out["extracted_text"].notna().all()
+
+
+def test_stream_redaction_matches_batch_kernel(spark, stream_dirs):
+    """extract_stream(redact_fields=...) appends the same span-exact
+    redacted_text the batch kernel produces for every turn."""
+    from br_doc_ocr_spark.core.extract import (
+        DEFAULT_REDACT_FIELDS, extract_batch)
+
+    full = make_transcripts_pandas(n_convs=6, mean_turns=5, seed=21,
+                                   skew_conv=False)
+    _write_batch(full, f"{stream_dirs['in']}/all.parquet")
+
+    out_dir = stream_dirs["out"] + "_red"
+    q = (streaming.extract_stream(
+            streaming.read_transcript_stream(spark, stream_dirs["in"]),
+            redact_fields=DEFAULT_REDACT_FIELDS)
+         .writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", stream_dirs["ckpt"] + "_red")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = (spark.read.parquet(out_dir).toPandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    expected = (extract_batch(full, None, DEFAULT_REDACT_FIELDS)
+                .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert "redacted_text" in got.columns
+    assert got["redacted_text"].tolist() == expected["redacted_text"].tolist()
