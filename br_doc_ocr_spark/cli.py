@@ -215,6 +215,46 @@ def cmd_dataset(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Corpus curation: annotate every document with the composed
+    pretraining-filter verdict (token bounds, quality floor, repetition
+    ceilings, language allowlist), write the result, and report the
+    drop-reason histogram — the audit number a curation run is judged by."""
+    from pyspark.sql import functions as sf
+
+    from br_doc_ocr_spark.ops.textstats import curate_documents
+
+    spark = _session(args)
+    docs = spark.read.parquet(args.input)
+    out = curate_documents(
+        docs, text_col=args.text_col,
+        min_tokens=args.min_tokens, max_tokens=args.max_tokens,
+        min_quality=args.min_quality,
+        max_dup_line_frac=args.max_dup_line_frac,
+        max_dup_ngram_frac=args.max_dup_ngram_frac,
+        allowed_langs=(tuple(args.langs.split(",")) if args.langs else None))
+    if args.drop:
+        out.filter("keep").drop("drop_reasons", "keep").write.mode(
+            "overwrite").parquet(args.output)
+    else:
+        out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    total = docs.count()
+    kept = written.count() if args.drop else written.filter("keep").count()
+    if args.drop:
+        reasons = {r["r"]: r["n"] for r in
+                   out.select(sf.explode("drop_reasons").alias("r"))
+                   .groupBy("r").agg(sf.count("*").alias("n")).collect()}
+    else:
+        reasons = {r["r"]: r["n"] for r in
+                   written.select(sf.explode("drop_reasons").alias("r"))
+                   .groupBy("r").agg(sf.count("*").alias("n")).collect()}
+    print(json.dumps({"output": args.output, "total": total, "kept": kept,
+                      "dropped": total - kept,
+                      "drop_reasons": dict(sorted(reasons.items()))}))
+    return 0
+
+
 def cmd_synth(args) -> int:
     from br_doc_ocr_spark.synth import synth_to_parquet
 
@@ -311,6 +351,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--val-ratio", type=float, default=0.1)
     p.add_argument("--key-col", default="conv_id")
     p.set_defaults(func=cmd_dataset)
+
+    p = sub.add_parser("curate", help="corpus curation: composed "
+                                      "pretraining filter with reason audit")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--min-tokens", type=int, default=8)
+    p.add_argument("--max-tokens", type=int, default=100_000)
+    p.add_argument("--min-quality", type=float, default=0.3)
+    p.add_argument("--max-dup-line-frac", type=float, default=0.30)
+    p.add_argument("--max-dup-ngram-frac", type=float, default=0.50)
+    p.add_argument("--langs", default=None,
+                   help="comma-separated language allowlist (e.g. en,pt,und)")
+    p.add_argument("--drop", action="store_true",
+                   help="write only kept documents (annotation columns "
+                        "stripped) instead of the annotated full corpus")
+    p.set_defaults(func=cmd_curate)
 
     p = sub.add_parser("synth", help="generate synthetic transcripts")
     p.add_argument("--turns", type=int, required=True)

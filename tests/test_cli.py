@@ -180,3 +180,32 @@ def test_extract_redact_flag(spark, tiny_transcripts_path, tmp_path, capsys):
     leaked = got.filter(sf.col("redacted_text").rlike(
         r"\d{3}\.\d{3}\.\d{3}-\d{2}")).count()
     assert leaked == 0
+
+
+def test_curate_command(spark, tmp_path, capsys):
+    """curate annotates the corpus, reports the drop-reason histogram, and
+    --drop writes only kept documents with audit columns stripped."""
+    docs = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog and then walks "
+            "away to find another quiet place to rest for a while"),
+        (2, "tiny"),
+        (3, "the cat sat " * 30),
+    ], "doc_id long, text string")
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    payload = run_cli(
+        capsys, "curate", "--input", src, "--output",
+        str(tmp_path / "ann"), "--min-quality", "0.0")
+    assert payload["total"] == 3 and payload["kept"] == 1
+    assert payload["drop_reasons"].get("too_short") == 1
+    assert payload["drop_reasons"].get("dup_ngrams") == 1
+    ann = spark.read.parquet(str(tmp_path / "ann"))
+    assert {"keep", "drop_reasons", "quality"} <= set(ann.columns)
+
+    payload = run_cli(
+        capsys, "curate", "--input", src, "--output",
+        str(tmp_path / "kept"), "--min-quality", "0.0", "--drop")
+    kept = spark.read.parquet(str(tmp_path / "kept"))
+    assert payload["kept"] == kept.count() == 1
+    assert "drop_reasons" not in kept.columns
