@@ -92,9 +92,17 @@ def cmd_extract_one(args) -> int:
         from br_doc_ocr_spark.core.schemas import load_schema
 
         schema = load_schema(args.schema)
+    redact = None
+    if getattr(args, "redact", None):
+        from br_doc_ocr_spark.core.extract import DEFAULT_REDACT_FIELDS
+
+        redact = (DEFAULT_REDACT_FIELDS if args.redact == "ids" else
+                  frozenset(f.strip() for f in args.redact.split(",")
+                            if f.strip()))
     result = extract_one(text, schema=schema, document_type=args.document_type,
                          confidence=not args.no_confidence,
-                         multi_document=args.multi_document)
+                         multi_document=args.multi_document,
+                         redact_fields=redact)
     print(json.dumps(result, ensure_ascii=False))
     statuses = ([r["status"] for r in result]
                 if isinstance(result, list) else [result["status"]])
@@ -302,6 +310,8 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["cnh", "rg", "invoice"])
     p.add_argument("--no-confidence", action="store_true")
     p.add_argument("--multi-document", action="store_true")
+    p.add_argument("--redact", default=None, metavar="FIELDS",
+                   help="add a redacted_text key (comma list or 'ids')")
     p.set_defaults(func=cmd_extract_one)
 
     p = sub.add_parser("resume", help="manifest-checkpointed resumable job")

@@ -482,6 +482,7 @@ def extract_one(
     confidence: bool = True,
     multi_document: bool = False,
     model_version: str = "rules-v1",
+    redact_fields: frozenset[str] | None = None,
 ) -> dict[str, Any] | list[dict[str, Any]]:
     """Extract one payload → the reference's ExtractionResult response dict
     (contract: ``tests/contract/test_api_responses.py:13-111`` — required
@@ -495,6 +496,10 @@ def extract_one(
     way the reference's hint does; an explicit ``schema`` wins over the hint.
     Errors are captured as a failed result with ``error_message`` (the API's
     error channel), never raised.
+
+    ``redact_fields`` is the graft's opt-in PII scrubbing: a
+    ``redacted_text`` key is ADDED only when requested, so the default
+    response stays exactly the reference contract.
     """
     import time as _time
 
@@ -507,7 +512,7 @@ def extract_one(
     def one(payload: str | None) -> dict[str, Any]:
         t0 = _time.perf_counter()
         try:
-            r = extract_turn(payload, allowed)
+            r = extract_turn(payload, allowed, redact_fields)
             result = {
                 "document_type": document_type or _document_type_of(r["fields"]),
                 "extracted_data": r["fields"],
@@ -520,6 +525,8 @@ def extract_one(
             if confidence:
                 result["confidence_scores"] = r["confidence_scores"]
                 result["low_confidence_fields"] = r["low_confidence_fields"]
+            if redact_fields is not None:
+                result["redacted_text"] = r["redacted_text"]
         except Exception as e:  # the API's 500-channel, shaped as a result
             result = {
                 "document_type": document_type or "unknown",
@@ -531,6 +538,8 @@ def extract_one(
             if confidence:  # keys present whenever requested — contract
                 result["confidence_scores"] = {}
                 result["low_confidence_fields"] = []
+            if redact_fields is not None:
+                result["redacted_text"] = None
         result["processing_time_ms"] = int((_time.perf_counter() - t0) * 1000)
         return result
 

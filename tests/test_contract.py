@@ -230,3 +230,17 @@ def test_classify_one_contract():
     assert unk["document_type"] == "unknown"
     assert unk["confidence"] == 0.0 and unk["alternatives"] == []
     assert classify_one(None)["document_type"] == "unknown"
+
+
+def test_extract_one_redact_opt_in_only():
+    """redacted_text is ADDED only when requested — the default response
+    keeps exactly the reference contract keys."""
+    from br_doc_ocr_spark.core.extract import (
+        DEFAULT_REDACT_FIELDS, extract_one)
+
+    t = "CPF 123.456.789-00 em anexo"
+    base = extract_one(t)
+    assert "redacted_text" not in base
+    red = extract_one(t, redact_fields=DEFAULT_REDACT_FIELDS)
+    assert red["redacted_text"] == "CPF [CPF] em anexo"
+    assert set(red) - set(base) == {"redacted_text"}
