@@ -199,3 +199,18 @@ def test_redact_fields_appends_masked_column(spark, tiny_transcripts_path):
     a = _normalize(got[OUTPUT_COLUMNS])
     b = _normalize(plain.toPandas())
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_read_transcripts_iceberg_seam(spark, tiny_transcripts_path):
+    """The Iceberg reader path is wired (DataSourceV2 load + snapshot-id
+    option) and fails with a jar-naming error in this runtime-less sandbox;
+    unknown formats are rejected outright."""
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        pipeline.read_transcripts(spark, tiny_transcripts_path,
+                                  table_format="iceberg", snapshot_id=7)
+    with pytest.raises(ValueError, match="unsupported table_format"):
+        pipeline.read_transcripts(spark, tiny_transcripts_path,
+                                  table_format="orc")
+    # default path unchanged
+    assert pipeline.read_transcripts(
+        spark, tiny_transcripts_path).columns == pipeline.TRANSCRIPT_COLUMNS
