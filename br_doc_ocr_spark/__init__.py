@@ -39,6 +39,8 @@ __all__ = [
     "load_schema",
     "evaluate",
     "schemas",
+    "redact_text",
+    "curate_documents",
 ]
 
 _EXPORTS = {
@@ -51,6 +53,9 @@ _EXPORTS = {
     "classify_one": ("br_doc_ocr_spark.core.extract", "classify_one"),
     "oracle_extract": ("br_doc_ocr_spark.core.extract", "oracle_extract"),
     "load_schema": ("br_doc_ocr_spark.core.schemas", "load_schema"),
+    "redact_text": ("br_doc_ocr_spark.core.extract", "redact_text"),
+    "curate_documents": ("br_doc_ocr_spark.ops.textstats",
+                         "curate_documents"),
 }
 
 
