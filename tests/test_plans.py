@@ -41,6 +41,17 @@ def test_extraction_has_single_arrow_crossing_and_shuffle(spark,
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "pmod(turn_idx" in plan  # the salt key is part of the partitioning
 
+    # redaction rides the SAME single crossing — no extra stage, no extra
+    # shuffle, just one more output column from the kernel
+    from br_doc_ocr_spark.core.extract import DEFAULT_REDACT_FIELDS
+
+    red, _ = pipeline.run_extraction(df, salt=4,
+                                     redact_fields=DEFAULT_REDACT_FIELDS)
+    rplan = plan_of(red)
+    assert len(re.findall(r"\(\d+\) MapInPandas", rplan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", rplan)) == 1
+    assert "redacted_text" in rplan
+
 
 def test_small_dims_are_broadcast(spark):
     import re
