@@ -263,6 +263,21 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Small-file compaction (Iceberg rewrite_data_files analog): rewrite a
+    parquet table at a target file size, optionally re-sorted for read
+    locality."""
+    from br_doc_ocr_spark.pipeline import compact_parquet
+
+    spark = _session(args)
+    stats = compact_parquet(
+        spark, args.input, args.output,
+        target_file_mb=args.target_file_mb,
+        sort_cols=tuple(args.sort_by.split(",")) if args.sort_by else ())
+    print(json.dumps({"output": args.output, **stats}))
+    return 0
+
+
 def cmd_synth(args) -> int:
     from br_doc_ocr_spark.synth import synth_to_parquet
 
@@ -378,6 +393,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="write only kept documents (annotation columns "
                         "stripped) instead of the annotated full corpus")
     p.set_defaults(func=cmd_curate)
+
+    p = sub.add_parser("compact", help="small-file compaction "
+                                       "(rewrite_data_files analog)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--target-file-mb", type=int, default=512)
+    p.add_argument("--sort-by", default=None,
+                   help="comma-separated columns to re-sort within output "
+                        "files (read locality), e.g. conv_id,turn_idx")
+    p.set_defaults(func=cmd_compact)
 
     p = sub.add_parser("synth", help="generate synthetic transcripts")
     p.add_argument("--turns", type=int, required=True)

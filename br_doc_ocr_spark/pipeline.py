@@ -432,3 +432,47 @@ def flagship_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status", "payload_kind")
     )
+
+
+def compact_parquet(spark: SparkSession, input_path: str, output_path: str,
+                    target_file_mb: int = 512,
+                    sort_cols: tuple[str, ...] = ()) -> dict:
+    """Small-file compaction — the Iceberg ``rewrite_data_files`` analog
+    for this repo's parquet layout.
+
+    A long-running ingestion (streaming triggers, many resume snapshots,
+    per-bucket writes) accretes small files; at cluster scale the next
+    reader then pays one task + one open per sliver. This rewrites the
+    table at ``target_file_mb`` per output file: output file count =
+    ``ceil(on-disk bytes / target)`` (measured from the source listing, so
+    compression survives the round trip), via ``repartition(n)`` —
+    ``coalesce`` is deliberately NOT used: it would collapse the READ
+    parallelism of the very scan doing the rewrite. ``sort_cols`` re-sorts
+    within output files (``sortWithinPartitions``) to restore read
+    locality, e.g. ``("conv_id", "turn_idx")`` for extraction output.
+
+    Writes to ``output_path`` (caller swaps directories when compacting in
+    place — same contract as Iceberg's rewrite-then-commit). Returns
+    ``{files_before, files_after, bytes, rows}``.
+    """
+    import math
+    import os
+
+    bytes_total = 0
+    files_before = 0
+    for root, _dirs, names in os.walk(input_path):
+        for name in names:
+            if name.endswith(".parquet"):
+                files_before += 1
+                bytes_total += os.path.getsize(os.path.join(root, name))
+    n_files = max(1, math.ceil(bytes_total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(input_path)
+    out = df.repartition(n_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").parquet(output_path)
+    written = [n for _r, _d, ns in os.walk(output_path)
+               for n in ns if n.endswith(".parquet")]
+    return {"files_before": files_before, "files_after": len(written),
+            "bytes": bytes_total,
+            "rows": spark.read.parquet(output_path).count()}

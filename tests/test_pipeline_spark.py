@@ -214,3 +214,35 @@ def test_read_transcripts_iceberg_seam(spark, tiny_transcripts_path):
     # default path unchanged
     assert pipeline.read_transcripts(
         spark, tiny_transcripts_path).columns == pipeline.TRANSCRIPT_COLUMNS
+
+
+def test_compact_parquet_rewrites_small_files(spark, tmp_path):
+    """Compaction collapses a many-small-file table to the byte-targeted
+    file count with identical content; sort_cols restores within-file
+    order."""
+    import pandas as pd
+
+    src = str(tmp_path / "sliver")
+    df = spark.range(20_000).selectExpr(
+        "cast(id % 50 as string) AS conv_id",
+        "cast(id as int) AS turn_idx",
+        "repeat('x', 100) AS text")
+    df.repartition(64).write.parquet(src)  # 64 sliver files
+
+    out = str(tmp_path / "compacted")
+    stats = pipeline.compact_parquet(spark, src, out, target_file_mb=512,
+                                     sort_cols=("conv_id", "turn_idx"))
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 1       # everything fits one 512MB target
+    assert stats["rows"] == 20_000
+
+    a = spark.read.parquet(src).toPandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = spark.read.parquet(out).toPandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # within-file sort applied: reading back preserves the sorted runs
+    first_file = spark.read.parquet(out).toPandas()
+    runs = first_file.groupby("conv_id")["turn_idx"].apply(
+        lambda s: (s.diff().dropna() > 0).all())
+    assert runs.all()
