@@ -37,6 +37,18 @@ def _session(args):
     return build_session(cpus=args.cpus)
 
 
+def _parse_redact(value: str | None) -> frozenset[str] | None:
+    """Shared --redact parser: None passthrough, 'ids' = identifier set,
+    else a comma list (whitespace-tolerant)."""
+    if not value:
+        return None
+    from br_doc_ocr_spark.core.extract import DEFAULT_REDACT_FIELDS
+
+    if value == "ids":
+        return DEFAULT_REDACT_FIELDS
+    return frozenset(f.strip() for f in value.split(",") if f.strip())
+
+
 def cmd_extract(args) -> int:
     from pyspark.sql import functions as sf
 
@@ -48,13 +60,7 @@ def cmd_extract(args) -> int:
         from br_doc_ocr_spark.core.schemas import load_schema
 
         schema = load_schema(args.schema)
-    redact = None
-    if args.redact:
-        from br_doc_ocr_spark.core.extract import DEFAULT_REDACT_FIELDS
-
-        redact = (DEFAULT_REDACT_FIELDS if args.redact == "ids" else
-                  frozenset(f.strip() for f in args.redact.split(",")
-                            if f.strip()))
+    redact = _parse_redact(args.redact)
     run_pipeline(
         spark, args.input, output_path=args.output,
         lineage_path=args.lineage, salt=args.salt, run_id=args.run_id,
@@ -92,13 +98,7 @@ def cmd_extract_one(args) -> int:
         from br_doc_ocr_spark.core.schemas import load_schema
 
         schema = load_schema(args.schema)
-    redact = None
-    if getattr(args, "redact", None):
-        from br_doc_ocr_spark.core.extract import DEFAULT_REDACT_FIELDS
-
-        redact = (DEFAULT_REDACT_FIELDS if args.redact == "ids" else
-                  frozenset(f.strip() for f in args.redact.split(",")
-                            if f.strip()))
+    redact = _parse_redact(getattr(args, "redact", None))
     result = extract_one(text, schema=schema, document_type=args.document_type,
                          confidence=not args.no_confidence,
                          multi_document=args.multi_document,
@@ -234,29 +234,35 @@ def cmd_curate(args) -> int:
 
     spark = _session(args)
     docs = spark.read.parquet(args.input)
+    langs = (tuple(l.strip() for l in args.langs.split(",") if l.strip())
+             if args.langs else None)
     out = curate_documents(
         docs, text_col=args.text_col,
         min_tokens=args.min_tokens, max_tokens=args.max_tokens,
         min_quality=args.min_quality,
         max_dup_line_frac=args.max_dup_line_frac,
         max_dup_ngram_frac=args.max_dup_ngram_frac,
-        allowed_langs=(tuple(args.langs.split(",")) if args.langs else None))
-    if args.drop:
-        out.filter("keep").drop("drop_reasons", "keep").write.mode(
-            "overwrite").parquet(args.output)
-    else:
-        out.write.mode("overwrite").parquet(args.output)
-    written = spark.read.parquet(args.output)
-    total = docs.count()
-    kept = written.count() if args.drop else written.filter("keep").count()
-    if args.drop:
+        allowed_langs=langs)
+    # the full stats stack (tokenize, 24-language argmax, n-gram arrays) is
+    # the expensive part — materialize it ONCE for the write AND the audit
+    # aggregates instead of recomputing per action (same DISK_ONLY
+    # discipline as run_extraction's write path)
+    from pyspark import StorageLevel
+
+    out = out.persist(StorageLevel.DISK_ONLY)
+    try:
+        if args.drop:
+            out.filter("keep").drop("drop_reasons", "keep").write.mode(
+                "overwrite").parquet(args.output)
+        else:
+            out.write.mode("overwrite").parquet(args.output)
+        total = out.count()
+        kept = out.filter("keep").count()
         reasons = {r["r"]: r["n"] for r in
                    out.select(sf.explode("drop_reasons").alias("r"))
                    .groupBy("r").agg(sf.count("*").alias("n")).collect()}
-    else:
-        reasons = {r["r"]: r["n"] for r in
-                   written.select(sf.explode("drop_reasons").alias("r"))
-                   .groupBy("r").agg(sf.count("*").alias("n")).collect()}
+    finally:
+        out.unpersist()
     print(json.dumps({"output": args.output, "total": total, "kept": kept,
                       "dropped": total - kept,
                       "drop_reasons": dict(sorted(reasons.items()))}))

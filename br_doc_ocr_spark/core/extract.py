@@ -379,14 +379,18 @@ def extract_batch(batch: pd.DataFrame,
 
 
 def extract_batches(batches: Iterable[pd.DataFrame],
-                    allowed_fields: frozenset[str] | None = None
+                    allowed_fields: frozenset[str] | None = None,
+                    redact_fields: frozenset[str] | None = None
                     ) -> Iterable[pd.DataFrame]:
     """Iterator form for ``DataFrame.mapInPandas`` — one task consumes one
     partition's Arrow batches; per-partition init (compiled regexes) is free
-    because patterns live at module import."""
+    because patterns live at module import. The canonical skip-empty-batch
+    wrapper for EVERY mapInPandas consumer (batch closures and streaming
+    alike) — bind extra kernel options with ``functools.partial`` instead of
+    re-implementing the loop."""
     for batch in batches:
         if len(batch):
-            yield extract_batch(batch, allowed_fields)
+            yield extract_batch(batch, allowed_fields, redact_fields)
 
 
 # ---------------------------------------------------------------------------

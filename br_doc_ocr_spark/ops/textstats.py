@@ -442,7 +442,13 @@ def curate_documents(
     separate opt-in pass (:func:`top_ngram_share`).
     """
     out = repetition_stats(with_text_stats(df, text_col), text_col)
+    # NULL text first, explicitly: every stat below is NULL for a NULL
+    # payload, so every threshold comparison would be NULL, no CASE would
+    # fire, and the row would silently sail through as keep=true — the
+    # exact opposite of what a curation pass must do with a failed-extract
+    # row.
     checks = [
+        (f"{text_col} IS NULL", "null_text"),
         (f"n_tokens < {int(min_tokens)}", "too_short"),
         (f"n_tokens > {int(max_tokens)}", "too_long"),
         (f"quality < {float(min_quality)}", "low_quality"),
@@ -450,8 +456,13 @@ def curate_documents(
         (f"dup_ngram_frac > {float(max_dup_ngram_frac)}", "dup_ngrams"),
     ]
     if allowed_langs is not None:
-        langs = ", ".join(f"'{l}'" for l in sorted(allowed_langs))
-        checks.append((f"lang_pred NOT IN ({langs})", "lang"))
+        if not allowed_langs:
+            # empty allowlist admits nothing; 'NOT IN ()' is a parse error
+            checks.append((f"{text_col} IS NOT NULL", "lang"))
+        else:
+            langs = ", ".join(
+                "'" + l.replace("'", "''") + "'" for l in sorted(allowed_langs))
+            checks.append((f"lang_pred NOT IN ({langs})", "lang"))
     reasons = ", ".join(
         f"CASE WHEN {cond} THEN '{tag}' END" for cond, tag in checks)
     return out.withColumn(

@@ -74,11 +74,17 @@ def read_transcripts(spark: SparkSession, path: str,
             reader = reader.option("snapshot-id", str(snapshot_id))
         try:
             df = reader.load(path)
-        except Exception as e:  # jar/catalog missing — name the fix
-            raise RuntimeError(
-                "Iceberg read failed — is iceberg-spark-runtime on the "
-                "classpath (spark-submit --packages org.apache.iceberg:"
-                "iceberg-spark-runtime-...)?") from e
+        except Exception as e:
+            # only the missing-jar/data-source case gets the classpath hint;
+            # table-not-found / auth / bad snapshot-id keep their own message
+            msg = str(e)
+            if ("Failed to find" in msg and "data source" in msg.lower()) or \
+                    "ClassNotFoundException" in msg:
+                raise RuntimeError(
+                    "Iceberg read failed — is iceberg-spark-runtime on the "
+                    "classpath (spark-submit --packages org.apache.iceberg:"
+                    "iceberg-spark-runtime-...)?") from e
+            raise
         return df.select(*TRANSCRIPT_COLUMNS)
     if table_format != "parquet":
         raise ValueError(f"unsupported table_format: {table_format!r}")
@@ -454,25 +460,36 @@ def compact_parquet(spark: SparkSession, input_path: str, output_path: str,
     Writes to ``output_path`` (caller swaps directories when compacting in
     place — same contract as Iceberg's rewrite-then-commit). Returns
     ``{files_before, files_after, bytes, rows}``.
+
+    File listing/sizing goes through the Hadoop FileSystem API so any URI
+    scheme the cluster can read (``hdfs://``, ``s3a://``, local) sizes
+    correctly — a driver-side ``os.walk`` would silently see zero bytes
+    for a remote table and collapse it to one output file.
     """
     import math
-    import os
 
-    bytes_total = 0
-    files_before = 0
-    for root, _dirs, names in os.walk(input_path):
-        for name in names:
-            if name.endswith(".parquet"):
-                files_before += 1
-                bytes_total += os.path.getsize(os.path.join(root, name))
+    def _parquet_files(path: str) -> tuple[int, int]:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        it = fs.listFiles(hpath, True)
+        count = 0
+        size = 0
+        while it.hasNext():
+            status = it.next()
+            if status.getPath().getName().endswith(".parquet"):
+                count += 1
+                size += status.getLen()
+        return count, size
+
+    files_before, bytes_total = _parquet_files(input_path)
     n_files = max(1, math.ceil(bytes_total / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(input_path)
     out = df.repartition(n_files)
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
     out.write.mode("overwrite").parquet(output_path)
-    written = [n for _r, _d, ns in os.walk(output_path)
-               for n in ns if n.endswith(".parquet")]
-    return {"files_before": files_before, "files_after": len(written),
+    files_after, _ = _parquet_files(output_path)
+    return {"files_before": files_before, "files_after": files_after,
             "bytes": bytes_total,
             "rows": spark.read.parquet(output_path).count()}

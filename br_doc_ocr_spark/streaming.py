@@ -20,14 +20,12 @@ tests and backfills).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as sf
 
-from br_doc_ocr_spark.core.extract import (
-    OUTPUT_SCHEMA_DDL,
-    extract_batch,
-    extract_batches,
-)
+from br_doc_ocr_spark.core.extract import OUTPUT_SCHEMA_DDL, extract_batches
 from br_doc_ocr_spark.pipeline import TRANSCRIPT_COLUMNS
 
 TRANSCRIPT_SCHEMA_DDL = (
@@ -67,14 +65,9 @@ def extract_stream(transcripts: DataFrame,
         transcripts = transcripts.repartition(target_partitions)
     ddl = OUTPUT_SCHEMA_DDL + (", redacted_text string"
                                if redact_fields is not None else "")
-
-    def run(batches):
-        for batch in batches:
-            if len(batch):
-                yield extract_batch(batch, None, redact_fields)
-
-    return transcripts.mapInPandas(
-        run if redact_fields is not None else extract_batches, schema=ddl)
+    kernel = (functools.partial(extract_batches, redact_fields=redact_fields)
+              if redact_fields is not None else extract_batches)
+    return transcripts.mapInPandas(kernel, schema=ddl)
 
 
 def deduplicated_stream(transcripts: DataFrame,

@@ -627,3 +627,26 @@ def test_curate_documents_is_shuffle_free(spark):
     plan = (textstats.curate_documents(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_curate_documents_null_text_and_empty_allowlist(spark):
+    """NULL-text rows must DROP (every stat is NULL, so without the explicit
+    check no threshold fires and they'd sail through); an empty language
+    allowlist admits nothing and must not be a SQL parse error; quoted
+    language codes are escaped not injected."""
+    df = spark.createDataFrame(
+        [("n", None), ("e", ""), ("ok", "the quick brown fox jumps over "
+                                        "the lazy dog near the river bank")],
+        "doc_id string, text string")
+    out = {r["doc_id"]: r for r in textstats.curate_documents(
+        df, min_quality=0.0).collect()}
+    assert out["n"]["drop_reasons"] == ["null_text"] and not out["n"]["keep"]
+    assert "too_short" in out["e"]["drop_reasons"]
+    assert out["ok"]["keep"]
+
+    empty = textstats.curate_documents(df, min_quality=0.0, min_tokens=0,
+                                       allowed_langs=())
+    assert all(not r["keep"] for r in empty.collect())
+    quoted = textstats.curate_documents(df, min_quality=0.0, min_tokens=0,
+                                        allowed_langs=("o'x", "en", "und"))
+    assert quoted.filter("doc_id = 'ok'").first()["keep"]
