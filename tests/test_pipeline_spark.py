@@ -246,3 +246,24 @@ def test_compact_parquet_rewrites_small_files(spark, tmp_path):
     runs = first_file.groupby("conv_id")["turn_idx"].apply(
         lambda s: (s.diff().dropna() > 0).all())
     assert runs.all()
+
+
+def test_compact_parquet_honors_target_file_size(spark, tmp_path):
+    """A table larger than one target unit splits into ceil(bytes/target)
+    files, not one mega-file."""
+    src = str(tmp_path / "big")
+    spark.range(40_000).selectExpr(
+        "cast(id as string) AS k",
+        # incompressible-ish payload so on-disk size stays > 2 MB
+        "sha2(cast(id as string), 256) AS a",
+        "sha2(cast(id + 1 as string), 256) AS b",
+        "repeat(sha2(cast(id as string), 512), 4) AS c",
+    ).repartition(32).write.parquet(src)
+
+    out = str(tmp_path / "sized")
+    stats = pipeline.compact_parquet(spark, src, out, target_file_mb=1)
+    import math
+    expected = math.ceil(stats["bytes"] / (1024 * 1024))
+    assert stats["bytes"] > 2 * 1024 * 1024  # premise: input spans >2 units
+    assert stats["files_after"] == expected > 1
+    assert stats["rows"] == 40_000
