@@ -65,7 +65,8 @@ def cmd_extract(args) -> int:
         spark, args.input, output_path=args.output,
         lineage_path=args.lineage, salt=args.salt, run_id=args.run_id,
         max_payload_chars=args.max_payload_chars, schema=schema,
-        drop_confidence=args.no_confidence, redact_fields=redact)
+        drop_confidence=args.no_confidence, redact_fields=redact,
+        table_format=args.table_format, read_snapshot_id=args.snapshot_id)
     # summarize the WRITTEN parquet — aggregating the returned frame would
     # re-run the whole kernel (run_pipeline unpersists its cache on return)
     summary = {r["status"]: r["n"] for r in
@@ -319,6 +320,12 @@ def main(argv: list[str] | None = None) -> int:
                         "of these fields masked; comma-separated field "
                         "names, or 'ids' for the identifier set "
                         "(cpf,cnpj,registro_geral,chave_acesso)")
+    p.add_argument("--table-format", default="parquet",
+                   choices=("parquet", "iceberg"),
+                   help="input table format; iceberg needs the "
+                        "iceberg-spark-runtime jar on the cluster")
+    p.add_argument("--snapshot-id", type=int, default=None,
+                   help="Iceberg time travel: read this table snapshot")
     p.set_defaults(func=cmd_extract)
 
     p = sub.add_parser("extract-one",

@@ -226,8 +226,15 @@ def run_pipeline(
     schema: dict | None = None,
     drop_confidence: bool = False,
     redact_fields: frozenset[str] | None = None,
+    table_format: str = "parquet",
+    read_snapshot_id: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """End-to-end: read → salted extract → order → (optionally) write.
+
+    ``table_format``/``read_snapshot_id`` select the input reader (Iceberg
+    time travel on a cluster with the runtime jar) — distinct from
+    ``snapshot_id``, which stamps the OUTPUT lineage rows for the resume
+    manifest.
 
     Writes are idempotent overwrites; lineage rows are stamped with
     ``run_id``/``snapshot_id`` (FIXTURES.md §5) for the resume manifest.
@@ -236,7 +243,9 @@ def run_pipeline(
     confidence_scores / low_confidence_fields columns from the result (P2 —
     the reference's ``--confidence`` off path, cli/extract.py:130-137).
     """
-    transcripts = read_transcripts(spark, input_path)
+    transcripts = read_transcripts(spark, input_path,
+                                   table_format=table_format,
+                                   snapshot_id=read_snapshot_id)
     # persist: the ordered write AND the lineage write both consume the
     # kernel output — without materialization the kernel runs twice.
     results, lineage = run_extraction(transcripts, salt=salt,
