@@ -215,21 +215,43 @@ class _BlockCollector:
             self._link_chars += len(data.strip())
 
     def feed(self, doc: str) -> None:
+        # Hot loop with _start/_end/_data inlined for their common cases:
+        # per-tag method dispatch was ~30% of the HTML path at the corpus'
+        # ~20 tags/document (685-byte docs). Semantics identical — the
+        # uncommon branches (boiler subtrees, malformed-nesting unwind)
+        # still call the methods, which remain the single source of truth.
         pos = 0
         n = len(doc)
         find = doc.find
-        data = self._data
         token_match = _TOKEN.match
+        buf_append = self._buf.append
+        stack = self._stack
+        is_boiler = self._is_boiler
+        start = self._start
+        end = self._end
+        block_tags = _BLOCK_TAGS
         while pos < n:
             lt = find("<", pos)
             if lt == -1:
-                data(doc[pos:])
+                seg = doc[pos:]
+                if "&" in seg:
+                    seg = _unescape(seg)
+                buf_append(seg)
+                if self._link_depth > 0:
+                    self._link_chars += len(seg.strip())
                 break
             if lt > pos:
-                data(doc[pos:lt])
+                seg = doc[pos:lt]
+                if "&" in seg:
+                    seg = _unescape(seg)
+                buf_append(seg)
+                if self._link_depth > 0:
+                    self._link_chars += len(seg.strip())
             m = token_match(doc, lt)
             if m is None:
-                data("<")  # stray '<' is text
+                buf_append("<")  # stray '<' is text
+                if self._link_depth > 0:
+                    self._link_chars += 1
                 pos = lt + 1
                 continue
             end_tag, start_tag = m.group(1), m.group(2)
@@ -244,11 +266,30 @@ class _BlockCollector:
                     gt = find(">", cm.start())
                     pos = n if gt == -1 else gt + 1
                     continue
-                self._start(tag, m.group(3))
+                attrs = m.group(3)
+                # inline of _start's non-boiler common case
+                if not (attrs and is_boiler(tag, attrs)) and tag != "a":
+                    if tag in block_tags:
+                        self._flush()
+                    if tag in _BOILERPLATE_TAGS:  # attr-less boiler tag
+                        start(tag, attrs)
+                    else:
+                        stack.append((tag, False))
+                else:
+                    start(tag, attrs)
                 if m.group(4):  # self-closing
-                    self._end(tag)
+                    end(tag)
             elif end_tag:
-                self._end(end_tag.lower())
+                tag = end_tag.lower()
+                # inline of _end's well-formed, non-boiler fast path
+                if stack and stack[-1][0] == tag and not stack[-1][1]:
+                    if tag in block_tags:
+                        self._flush()
+                    stack.pop()
+                    if tag == "a" and self._link_depth > 0:
+                        self._link_depth -= 1
+                else:
+                    end(tag)
             # comments / doctype / PI: skipped
 
     def close(self) -> None:
