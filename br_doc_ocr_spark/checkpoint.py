@@ -96,6 +96,8 @@ def run_resumable(
     run_id: str = "run-0",
     salt: int = 8,
     max_buckets_per_snapshot: int | None = None,
+    table_format: str = "parquet",
+    read_snapshot_id: int | None = None,
 ) -> dict:
     """Process pending buckets, snapshot the manifest, return a summary.
 
@@ -103,6 +105,11 @@ def run_resumable(
     interrupted run; production analog: one Iceberg snapshot commit per group
     of completed partitions). Call again to resume — completed buckets are
     never re-read thanks to bucket-column partition pruning on the filter.
+
+    ``table_format``/``read_snapshot_id`` select the input reader
+    (``pipeline.read_transcripts``); pinning an Iceberg read snapshot
+    matters MOST here — a resume that reads a newer snapshot than the
+    first invocation would process different rows under the same manifest.
     """
     t_start = time.perf_counter()
     manifest = Manifest.load_or_create(manifest_path, run_id, n_buckets)
@@ -113,8 +120,10 @@ def run_resumable(
         return {"processed_buckets": [], "pending_after": [], "rows": 0}
 
     snapshot_id = f"snap-{len(manifest.completed):05d}"
-    transcripts = read_transcripts(spark, input_path).withColumn(
-        BUCKET_COL, bucket_of(sf.col("conv_id"), n_buckets))
+    transcripts = read_transcripts(
+        spark, input_path, table_format=table_format,
+        snapshot_id=read_snapshot_id,
+    ).withColumn(BUCKET_COL, bucket_of(sf.col("conv_id"), n_buckets))
     todo = transcripts.filter(sf.col(BUCKET_COL).isin([int(b) for b in pending]))
 
     # persist: the bucket write and the lineage collection both consume the

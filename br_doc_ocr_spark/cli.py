@@ -37,6 +37,16 @@ def _session(args):
     return build_session(cpus=args.cpus)
 
 
+def _add_table_format_args(p) -> None:
+    """Input-reader selection, shared by every table-reading subcommand."""
+    p.add_argument("--table-format", default="parquet",
+                   choices=("parquet", "iceberg"),
+                   help="input table format; iceberg needs the "
+                        "iceberg-spark-runtime jar on the cluster")
+    p.add_argument("--snapshot-id", type=int, default=None,
+                   help="Iceberg time travel: read this table snapshot")
+
+
 def _parse_redact(value: str | None) -> frozenset[str] | None:
     """Shared --redact parser: None passthrough, 'ids' = identifier set,
     else a comma list (whitespace-tolerant)."""
@@ -119,7 +129,8 @@ def cmd_resume(args) -> int:
         spark, args.input, args.output, args.manifest,
         lineage_path=args.lineage, n_buckets=args.buckets,
         run_id=args.run_id, salt=args.salt,
-        max_buckets_per_snapshot=args.max_buckets)
+        max_buckets_per_snapshot=args.max_buckets,
+        table_format=args.table_format, read_snapshot_id=args.snapshot_id)
     print(json.dumps(summary))
     return 0
 
@@ -129,8 +140,11 @@ def cmd_multidoc(args) -> int:
     from br_doc_ocr_spark.pipeline import read_transcripts, run_multi_extraction
 
     spark = _session(args)
-    docs = run_multi_extraction(read_transcripts(spark, args.input),
-                                salt=args.salt)
+    docs = run_multi_extraction(
+        read_transcripts(spark, args.input,
+                         table_format=args.table_format,
+                         snapshot_id=args.snapshot_id),
+        salt=args.salt)
     (docs.repartitionByRange("conv_id", "turn_idx", "doc_idx")
      .sortWithinPartitions("conv_id", "turn_idx", "doc_idx")
      .write.mode("overwrite").parquet(args.output))
@@ -163,7 +177,9 @@ def cmd_classify(args) -> int:
     )
 
     spark = _session(args)
-    results, _ = run_extraction(read_transcripts(spark, args.input))
+    results, _ = run_extraction(read_transcripts(
+        spark, args.input, table_format=args.table_format,
+        snapshot_id=args.snapshot_id))
     summary = (with_classification(results)
                .groupBy("payload_kind")
                .agg(sf.count("*").alias("n"),
@@ -320,12 +336,7 @@ def main(argv: list[str] | None = None) -> int:
                         "of these fields masked; comma-separated field "
                         "names, or 'ids' for the identifier set "
                         "(cpf,cnpj,registro_geral,chave_acesso)")
-    p.add_argument("--table-format", default="parquet",
-                   choices=("parquet", "iceberg"),
-                   help="input table format; iceberg needs the "
-                        "iceberg-spark-runtime jar on the cluster")
-    p.add_argument("--snapshot-id", type=int, default=None,
-                   help="Iceberg time travel: read this table snapshot")
+    _add_table_format_args(p)
     p.set_defaults(func=cmd_extract)
 
     p = sub.add_parser("extract-one",
@@ -352,18 +363,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--run-id", default="run-0")
     p.add_argument("--max-buckets", type=int, default=None,
                    help="bound one invocation's snapshot size")
+    _add_table_format_args(p)
     p.set_defaults(func=cmd_resume)
 
     p = sub.add_parser("multidoc", help="multi-document extraction (FR-015)")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--salt", type=int, default=8)
+    _add_table_format_args(p)
     p.set_defaults(func=cmd_multidoc)
 
     p = sub.add_parser("classify", help="payload-kind classification summary "
                                         "(or one record via --text)")
     p.add_argument("--input")
     p.add_argument("--text", help="classify a single payload (no Spark)")
+    _add_table_format_args(p)
     p.set_defaults(func=cmd_classify)
 
     p = sub.add_parser("evaluate", help="score predictions vs golden")

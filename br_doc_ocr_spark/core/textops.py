@@ -92,7 +92,14 @@ _TOKEN = re.compile(
     r"|<![^>]*>"
     r"|<\?[^>]*>"
     r"|</\s*([a-zA-Z][a-zA-Z0-9]*)\s*>"
-    r"|<([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)(/?)>",
+    # attrs are LAZY so a trailing '/' reaches the self-closing group: the
+    # greedy form swallowed it into attrs, making group(4) always empty —
+    # '<a/>' then elevated link depth forever and every later block was
+    # dropped as link-dominated (XHTML/void syntax is common in real HTML).
+    # An unquoted attr VALUE ending in '/' ('<a href=x/>') now also reads
+    # as self-closing — a deterministic trade this non-browser parser
+    # accepts.
+    r"|<([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>",
     re.DOTALL,
 )
 _ATTR_HINT = re.compile(
@@ -140,8 +147,8 @@ class _BlockCollector:
 
     def _flush(self) -> None:
         if not self._buf:
-            # nothing buffered ⇒ no data since the last flush (every _data
-            # call appends), so _link_chars is already 0 — safe fast path
+            # nothing buffered ⇒ no data since the last flush (every text
+            # run appends), so _link_chars is already 0 — safe fast path
             # (~70% of flush calls are empty-buffer block boundaries).
             return
         raw = "".join(self._buf)
@@ -207,19 +214,14 @@ class _BlockCollector:
         if tag == "a" and self._link_depth > 0:
             self._link_depth -= 1
 
-    def _data(self, data: str) -> None:
-        if "&" in data:
-            data = _unescape(data)
-        self._buf.append(data)
-        if self._link_depth > 0:
-            self._link_chars += len(data.strip())
-
     def feed(self, doc: str) -> None:
-        # Hot loop with _start/_end/_data inlined for their common cases:
-        # per-tag method dispatch was ~30% of the HTML path at the corpus'
-        # ~20 tags/document (685-byte docs). Semantics identical — the
-        # uncommon branches (boiler subtrees, malformed-nesting unwind)
-        # still call the methods, which remain the single source of truth.
+        # Hot loop with the text-run handling and the common _start/_end
+        # cases inlined: per-tag method dispatch was ~30% of the HTML path
+        # at the corpus' ~20 tags/document (685-byte docs). Semantics
+        # identical — the uncommon branches (boiler subtrees,
+        # malformed-nesting unwind) still delegate to _start/_end, which
+        # remain the single source of truth for those paths; text handling
+        # (unescape + buffer + link-char tally) lives ONLY in this loop.
         pos = 0
         n = len(doc)
         find = doc.find
@@ -267,8 +269,11 @@ class _BlockCollector:
                     pos = n if gt == -1 else gt + 1
                     continue
                 attrs = m.group(3)
-                # inline of _start's non-boiler common case
-                if not (attrs and is_boiler(tag, attrs)) and tag != "a":
+                # inline of _start's non-boiler common case; the cheap
+                # anchor check runs BEFORE is_boiler so attributed <a> tags
+                # don't pay the attr-hint scan twice (once here, once in
+                # the delegated _start)
+                if tag != "a" and not (attrs and is_boiler(tag, attrs)):
                     if tag in block_tags:
                         self._flush()
                     if tag in _BOILERPLATE_TAGS:  # attr-less boiler tag

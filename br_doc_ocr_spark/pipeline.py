@@ -88,6 +88,13 @@ def read_transcripts(spark: SparkSession, path: str,
         return df.select(*TRANSCRIPT_COLUMNS)
     if table_format != "parquet":
         raise ValueError(f"unsupported table_format: {table_format!r}")
+    if snapshot_id is not None:
+        # silently reading the CURRENT table while the caller believes the
+        # run is pinned would break the reproducible-rerun contract the
+        # flag exists for
+        raise ValueError(
+            "snapshot_id requires table_format='iceberg' — plain parquet "
+            "has no snapshot to pin")
     return spark.read.parquet(path).select(*TRANSCRIPT_COLUMNS)
 
 

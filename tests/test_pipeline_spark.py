@@ -211,6 +211,11 @@ def test_read_transcripts_iceberg_seam(spark, tiny_transcripts_path):
     with pytest.raises(ValueError, match="unsupported table_format"):
         pipeline.read_transcripts(spark, tiny_transcripts_path,
                                   table_format="orc")
+    # pinning a snapshot on plain parquet must be loud, not a silent
+    # read-of-current-data
+    with pytest.raises(ValueError, match="requires table_format='iceberg'"):
+        pipeline.read_transcripts(spark, tiny_transcripts_path,
+                                  snapshot_id=7)
     # default path unchanged
     assert pipeline.read_transcripts(
         spark, tiny_transcripts_path).columns == pipeline.TRANSCRIPT_COLUMNS
@@ -263,7 +268,14 @@ def test_compact_parquet_honors_target_file_size(spark, tmp_path):
     out = str(tmp_path / "sized")
     stats = pipeline.compact_parquet(spark, src, out, target_file_mb=1)
     import math
-    expected = math.ceil(stats["bytes"] / (1024 * 1024))
-    assert stats["bytes"] > 2 * 1024 * 1024  # premise: input spans >2 units
+    import os
+    # expectation measured INDEPENDENTLY of the implementation's own
+    # listing, so a byte-counting bug cannot cancel out of the assertion
+    measured = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(src) for f in fs if f.endswith(".parquet"))
+    expected = math.ceil(measured / (1024 * 1024))
+    assert measured > 2 * 1024 * 1024  # premise: input spans >2 units
+    assert stats["bytes"] == measured
     assert stats["files_after"] == expected > 1
     assert stats["rows"] == 40_000

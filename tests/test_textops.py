@@ -119,3 +119,19 @@ def test_unclosed_boilerplate_is_implicitly_closed_by_outer_end_tag():
     assert "real article body" in out
     assert "Second paragraph" in out
     assert "menu" not in out
+
+
+def test_self_closing_tags_do_not_leak_depth():
+    """XHTML/void self-closing syntax must close immediately: a '<a/>' or
+    '<nav/>' that leaked its depth marked every later block link-dominated
+    or boilerplate and extracted the document as empty (the greedy attrs
+    group used to swallow the trailing '/')."""
+    from br_doc_ocr_spark.core.textops import strip_html
+
+    body = "This is the real article content of the page with many words."
+    assert strip_html(f"<div><a href='/home'/><p>{body}</p></div>") == body
+    assert strip_html(f"<div><nav/><p>{body}</p></div>") == body
+    assert strip_html(f"<div><br/><p>{body}</p></div>") == body
+    assert strip_html(f"<div><br /><p>{body}</p></div>") == body
+    # a self-closing BOILER tag must not mark later content boiler either
+    assert strip_html(f"<div><aside/><p>{body}</p></div>") == body
