@@ -352,9 +352,16 @@ def main() -> None:
             else:
                 spark = s_hi  # final spark.stop() below closes it
         t_low_eq = min(runs_low_eq) if runs_low_eq else elapsed_low
-        t_hi_eq = min(runs_hi_eq + runs_hi)
+        # headline legs come from the SAME measurement window (the equalized
+        # one): mixing in the earlier raw window's best high-leg time let a
+        # lucky turbo stretch inflate the headline (ADVICE r03). The
+        # cross-window variant ships as a separate diagnostic field.
+        t_hi_eq = min(runs_hi_eq) if runs_hi_eq else min(runs_hi)
+        t_hi_eq_xw = min(runs_hi_eq + runs_hi)
         eff_eq = round((n_scale / t_hi_eq)
                        / ((n_scale / t_low_eq) * (hi_cpus / low_cpus)), 3)
+        eff_eq_xw = round((n_scale / t_hi_eq_xw)
+                          / ((n_scale / t_low_eq) * (hi_cpus / low_cpus)), 3)
         extra["scaling"] = {
             "cpus_low": low_cpus, "cpus_high": hi_cpus, "turns": n_scale,
             "turns_per_sec_low": round(tp_low, 1),
@@ -373,6 +380,7 @@ def main() -> None:
             # over-penalized the low leg). Raw pair + host ceiling above.
             "efficiency": min(1.0, eff_eq),
             "efficiency_equalized_uncapped": eff_eq,
+            "efficiency_equalized_crosswindow": eff_eq_xw,  # diagnostic only
             "note": ("equalized legs hold total host load constant across "
                      "cluster sizes (a real 4N-executor cluster adds nodes; "
                      "per-node conditions do not change) — see BENCH.md "

@@ -43,12 +43,18 @@ BUCKET_COL = "bucket"
 
 @dataclass
 class Manifest:
-    """Snapshot manifest: which buckets of which run are complete."""
+    """Snapshot manifest: which buckets of which run are complete, plus the
+    input pin (``table_format`` / ``read_snapshot_id``) the first invocation
+    read under — a resume that silently read a DIFFERENT input snapshot
+    would mix rows from two snapshots in one output table (completed buckets
+    are never re-read), so the pin is part of the manifest contract."""
 
     path: str
     run_id: str = "run-0"
     n_buckets: int = 16
     completed: dict[str, list[int]] = field(default_factory=dict)  # snapshot → buckets
+    table_format: str = "parquet"
+    read_snapshot_id: int | None = None
 
     @classmethod
     def load_or_create(cls, path: str, run_id: str, n_buckets: int) -> "Manifest":
@@ -59,7 +65,9 @@ class Manifest:
                 raise ValueError(
                     f"manifest at {path} belongs to run {data['run_id']} with "
                     f"{data['n_buckets']} buckets; refusing to mix partition specs")
-            m = cls(path=path, run_id=run_id, n_buckets=n_buckets)
+            m = cls(path=path, run_id=run_id, n_buckets=n_buckets,
+                    table_format=data.get("table_format", "parquet"),
+                    read_snapshot_id=data.get("read_snapshot_id"))
             m.completed = {k: list(v) for k, v in data["completed"].items()}
             return m
         return cls(path=path, run_id=run_id, n_buckets=n_buckets)
@@ -78,8 +86,38 @@ class Manifest:
         tmp = self.path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump({"run_id": self.run_id, "n_buckets": self.n_buckets,
+                       "table_format": self.table_format,
+                       "read_snapshot_id": self.read_snapshot_id,
                        "completed": self.completed}, f, indent=2)
         os.replace(tmp, self.path)  # atomic publish — crash-safe
+
+    def resolve_input_pin(self, table_format: str,
+                          read_snapshot_id: int | None,
+                          loaded: bool) -> tuple[str, int | None]:
+        """Reconcile the caller's input pin with the manifest's.
+
+        First run (``loaded=False``): record the caller's pin. Resume: the
+        stored pin wins when the caller omits one (``read_snapshot_id=None``);
+        any explicit conflicting pin — including pinning a previously
+        unpinned run — raises instead of silently mixing input snapshots
+        under one manifest (ADVICE r03)."""
+        if not loaded:
+            self.table_format = table_format
+            self.read_snapshot_id = read_snapshot_id
+            return table_format, read_snapshot_id
+        if table_format != self.table_format:
+            raise ValueError(
+                f"manifest at {self.path} was created with table_format="
+                f"{self.table_format!r}; resuming with {table_format!r} "
+                "would mix input tables under one manifest")
+        if (read_snapshot_id is not None
+                and read_snapshot_id != self.read_snapshot_id):
+            raise ValueError(
+                f"manifest at {self.path} pinned read_snapshot_id="
+                f"{self.read_snapshot_id!r}; resuming with "
+                f"{read_snapshot_id!r} would mix rows from two input "
+                "snapshots (completed buckets are never re-read)")
+        return self.table_format, self.read_snapshot_id
 
 
 def bucket_of(conv_id_col, n_buckets: int):
@@ -110,9 +148,15 @@ def run_resumable(
     (``pipeline.read_transcripts``); pinning an Iceberg read snapshot
     matters MOST here — a resume that reads a newer snapshot than the
     first invocation would process different rows under the same manifest.
+    The first invocation's pin is therefore RECORDED in the manifest: a
+    resume defaults to the stored pin and raises on an explicit conflicting
+    one (:meth:`Manifest.resolve_input_pin`).
     """
     t_start = time.perf_counter()
+    loaded = os.path.exists(manifest_path)
     manifest = Manifest.load_or_create(manifest_path, run_id, n_buckets)
+    table_format, read_snapshot_id = manifest.resolve_input_pin(
+        table_format, read_snapshot_id, loaded)
     pending = manifest.pending_buckets()
     if max_buckets_per_snapshot is not None:
         pending = pending[:max_buckets_per_snapshot]

@@ -48,15 +48,29 @@ def _add_table_format_args(p) -> None:
 
 
 def _parse_redact(value: str | None) -> frozenset[str] | None:
-    """Shared --redact parser: None passthrough, 'ids' = identifier set,
-    else a comma list (whitespace-tolerant)."""
+    """Shared --redact parser: None passthrough, else a comma list
+    (whitespace-tolerant) where any element may be 'ids' = the identifier
+    set. Unknown field names raise: a typo ('registro-geral') would
+    otherwise silently redact nothing while the command appears to succeed
+    (ADVICE r03)."""
     if not value:
         return None
-    from br_doc_ocr_spark.core.extract import DEFAULT_REDACT_FIELDS
+    from br_doc_ocr_spark.core.extract import DEFAULT_REDACT_FIELDS, KNOWN_FIELDS
 
-    if value == "ids":
-        return DEFAULT_REDACT_FIELDS
-    return frozenset(f.strip() for f in value.split(",") if f.strip())
+    out: set[str] = set()
+    for f in value.split(","):
+        f = f.strip()
+        if not f:
+            continue
+        if f == "ids":
+            out |= DEFAULT_REDACT_FIELDS
+        elif f in KNOWN_FIELDS:
+            out.add(f)
+        else:
+            raise ValueError(
+                f"--redact: unknown field {f!r}; known fields: "
+                f"{', '.join(sorted(KNOWN_FIELDS))} (or 'ids')")
+    return frozenset(out) if out else None
 
 
 def cmd_extract(args) -> int:
@@ -70,7 +84,11 @@ def cmd_extract(args) -> int:
         from br_doc_ocr_spark.core.schemas import load_schema
 
         schema = load_schema(args.schema)
-    redact = _parse_redact(args.redact)
+    try:
+        redact = _parse_redact(args.redact)
+    except ValueError as e:
+        print(e, file=sys.stderr)
+        return 2
     run_pipeline(
         spark, args.input, output_path=args.output,
         lineage_path=args.lineage, salt=args.salt, run_id=args.run_id,
@@ -109,7 +127,11 @@ def cmd_extract_one(args) -> int:
         from br_doc_ocr_spark.core.schemas import load_schema
 
         schema = load_schema(args.schema)
-    redact = _parse_redact(getattr(args, "redact", None))
+    try:
+        redact = _parse_redact(getattr(args, "redact", None))
+    except ValueError as e:
+        print(e, file=sys.stderr)
+        return 2
     result = extract_one(text, schema=schema, document_type=args.document_type,
                          confidence=not args.no_confidence,
                          multi_document=args.multi_document,
@@ -296,7 +318,8 @@ def cmd_compact(args) -> int:
     stats = compact_parquet(
         spark, args.input, args.output,
         target_file_mb=args.target_file_mb,
-        sort_cols=tuple(args.sort_by.split(",")) if args.sort_by else ())
+        sort_cols=tuple(args.sort_by.split(",")) if args.sort_by else (),
+        small_file_ratio=args.small_file_ratio)
     print(json.dumps({"output": args.output, **stats}))
     return 0
 
@@ -426,6 +449,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--target-file-mb", type=int, default=512)
+    p.add_argument("--small-file-ratio", type=float, default=0.75,
+                   help="only files below ratio×target are rewritten; "
+                        "well-sized files are copied through untouched")
     p.add_argument("--sort-by", default=None,
                    help="comma-separated columns to re-sort within output "
                         "files (read locality), e.g. conv_id,turn_idx")

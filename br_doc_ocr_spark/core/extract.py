@@ -300,6 +300,12 @@ def schema_field_names(schema: dict[str, Any] | None) -> frozenset[str] | None:
 DEFAULT_REDACT_FIELDS = frozenset(
     {"cpf", "cnpj", "registro_geral", "chave_acesso"})
 
+# Every field name the scanner can emit — the validation domain for
+# user-supplied field lists (--redact): a typo'd name would otherwise be
+# silently never-matching, i.e. the identifier stays UNredacted while the
+# command appears to succeed (ADVICE r03).
+KNOWN_FIELDS = frozenset(_FIELD_FNS)
+
 
 def redact_text(text: str | None, spans: list[dict[str, Any]],
                 redact_fields: frozenset[str]) -> str | None:

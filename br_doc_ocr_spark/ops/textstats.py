@@ -8,11 +8,24 @@ filter/groupBy without extra shuffles — at 100 TB these run at scan speed.
 
 from __future__ import annotations
 
+import re
 from typing import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as sf
+
+_PLAIN_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _sql_ident(name: str) -> str:
+    """Backtick-quote a column name for interpolation into SQL fragments —
+    a dotted/spaced/reserved-word name breaks or misresolves raw (ADVICE
+    r03); plain identifiers pass through unquoted so generated SQL stays
+    readable."""
+    if _PLAIN_IDENT.fullmatch(name):
+        return name
+    return "`" + name.replace("`", "``") + "`"
 
 # Stopword samples per language for the stopword-ratio heuristic (public
 # langid practice: stopword hit-rate per language — the classic "stopwords"
@@ -202,7 +215,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         "n_tokens": token_count(t),
         "punct_ratio": punct_ratio(t),
         "quality": quality_score(t),
-        "lang_pred": predict_lang(text_col),
+        "lang_pred": predict_lang(_sql_ident(text_col)),
     })
 
 
@@ -253,7 +266,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     All three are 0.0 for documents with no lines / too few tokens. Emitted
     as single parsed SQL expressions (the langid/dedup build-time lesson).
     """
-    t = text_col
+    t = _sql_ident(text_col)
     # two-step projection, deliberately: inlining the lines/grams arrays
     # into every consuming formula multiplies the expression tree (each
     # occurrence re-inlines the tokenizer, each tokenizer the regex …) —
@@ -292,7 +305,7 @@ def top_ngram_share(df: DataFrame, id_col: str = "doc_id",
     Two shuffles on (id[, gram]) — at corpus scale both are linear,
     partial-agg'd, and skew-free (keys are per-document)."""
     exploded = (df.select(sf.col(id_col).alias("id"),
-                          sf.expr(_sql_filtered_tokens(text_col))
+                          sf.expr(_sql_filtered_tokens(_sql_ident(text_col)))
                           .alias("_tn_toks"))
                 .select("id", sf.explode(
                     sf.expr(_sql_word_ngrams("_tn_toks", ngram_n)))
@@ -447,8 +460,9 @@ def curate_documents(
     # fire, and the row would silently sail through as keep=true — the
     # exact opposite of what a curation pass must do with a failed-extract
     # row.
+    tq = _sql_ident(text_col)
     checks = [
-        (f"{text_col} IS NULL", "null_text"),
+        (f"{tq} IS NULL", "null_text"),
         (f"n_tokens < {int(min_tokens)}", "too_short"),
         (f"n_tokens > {int(max_tokens)}", "too_long"),
         (f"quality < {float(min_quality)}", "low_quality"),
@@ -458,7 +472,7 @@ def curate_documents(
     if allowed_langs is not None:
         if not allowed_langs:
             # empty allowlist admits nothing; 'NOT IN ()' is a parse error
-            checks.append((f"{text_col} IS NOT NULL", "lang"))
+            checks.append((f"{tq} IS NOT NULL", "lang"))
         else:
             langs = ", ".join(
                 "'" + l.replace("'", "''") + "'" for l in sorted(allowed_langs))

@@ -128,3 +128,51 @@ def test_empty_pending_buckets_complete_without_wedging(spark, tmp_path):
         pending = s["pending_after"]
     assert pending == []  # completed — no wedge
     assert spark.read.parquet(str(tmp_path / "out")).count() == 4
+
+
+def test_manifest_records_and_defends_input_pin(spark, tiny_transcripts_path,
+                                                paths):
+    """The first invocation's input pin (table_format / read_snapshot_id) is
+    persisted; a resume that passes a CONFLICTING pin raises instead of
+    silently mixing rows from two input snapshots under one manifest."""
+    checkpoint.run_resumable(spark, tiny_transcripts_path, paths["out"],
+                             paths["manifest"], n_buckets=4,
+                             max_buckets_per_snapshot=1)
+    with open(paths["manifest"], encoding="utf-8") as f:
+        m = json.load(f)
+    assert m["table_format"] == "parquet"
+    assert m["read_snapshot_id"] is None
+
+    # resume with a conflicting explicit snapshot pin → loud failure
+    with pytest.raises(ValueError, match="mix rows from two input snapshots"):
+        checkpoint.run_resumable(spark, tiny_transcripts_path, paths["out"],
+                                 paths["manifest"], n_buckets=4,
+                                 read_snapshot_id=42)
+    # resume with a conflicting table format → loud failure
+    with pytest.raises(ValueError, match="table_format"):
+        checkpoint.run_resumable(spark, tiny_transcripts_path, paths["out"],
+                                 paths["manifest"], n_buckets=4,
+                                 table_format="iceberg")
+    # omitting the pin defaults to the stored one and completes the run
+    s = checkpoint.run_resumable(spark, tiny_transcripts_path, paths["out"],
+                                 paths["manifest"], n_buckets=4)
+    assert s["pending_after"] == []
+
+
+def test_manifest_pinned_snapshot_defaults_on_resume(tmp_path):
+    """Unit-level: a manifest created under a pinned snapshot hands the pin
+    back to an unpinned resume, and record_snapshot round-trips it."""
+    path = str(tmp_path / "m.json")
+    m = checkpoint.Manifest.load_or_create(path, "run-0", 4)
+    fmt, snap = m.resolve_input_pin("iceberg", 99, loaded=False)
+    assert (fmt, snap) == ("iceberg", 99)
+    m.record_snapshot("snap-00000", [0, 1])
+
+    m2 = checkpoint.Manifest.load_or_create(path, "run-0", 4)
+    assert (m2.table_format, m2.read_snapshot_id) == ("iceberg", 99)
+    # unpinned resume inherits the stored pin
+    assert m2.resolve_input_pin("iceberg", None, loaded=True) == ("iceberg", 99)
+    # same explicit pin passes through
+    assert m2.resolve_input_pin("iceberg", 99, loaded=True) == ("iceberg", 99)
+    with pytest.raises(ValueError, match="mix rows"):
+        m2.resolve_input_pin("iceberg", 100, loaded=True)

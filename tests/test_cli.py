@@ -209,3 +209,29 @@ def test_curate_command(spark, tmp_path, capsys):
     kept = spark.read.parquet(str(tmp_path / "kept"))
     assert payload["kept"] == kept.count() == 1
     assert "drop_reasons" not in kept.columns
+
+
+def test_parse_redact_expands_and_validates():
+    """'ids' expands inside a comma list (it previously matched only as the
+    whole value, silently skipping the identifier set — ADVICE r03), and an
+    unknown field name raises instead of silently redacting nothing."""
+    from br_doc_ocr_spark.cli import _parse_redact
+    from br_doc_ocr_spark.core.extract import DEFAULT_REDACT_FIELDS
+
+    assert _parse_redact(None) is None
+    assert _parse_redact("ids") == DEFAULT_REDACT_FIELDS
+    assert _parse_redact("ids,valor") == DEFAULT_REDACT_FIELDS | {"valor"}
+    assert _parse_redact(" cpf , data ") == frozenset({"cpf", "data"})
+    with pytest.raises(ValueError, match="unknown field 'registro-geral'"):
+        _parse_redact("registro-geral")
+
+
+def test_extract_one_rejects_unknown_redact_field(capsys):
+    """The CLI surfaces the bad --redact name as exit 2 + stderr, not a
+    silently-successful unredacted run."""
+    from br_doc_ocr_spark.cli import main
+
+    rc = main(["extract-one", "--text", "CPF 123.456.789-01",
+               "--redact", "cpfs"])
+    assert rc == 2
+    assert "unknown field 'cpfs'" in capsys.readouterr().err

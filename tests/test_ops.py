@@ -650,3 +650,27 @@ def test_curate_documents_null_text_and_empty_allowlist(spark):
     quoted = textstats.curate_documents(df, min_quality=0.0, min_tokens=0,
                                         allowed_langs=("o'x", "en", "und"))
     assert quoted.filter("doc_id = 'ok'").first()["keep"]
+
+
+def test_textstats_nonplain_column_names_quoted(spark):
+    """with_text_stats / repetition_stats / curate_documents interpolate the
+    text column name into SQL fragments — a dotted/reserved/spaced name must
+    be backtick-quoted, not break or misresolve (ADVICE r03)."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog by the river")],
+        ["doc_id", "text column"])  # space in the name
+    got = textstats.with_text_stats(df, "text column").first()
+    assert got["n_tokens"] == 12 and got["lang_pred"] == "en"
+    rep = textstats.repetition_stats(df, "text column").first()
+    assert rep["dup_line_frac"] == 0.0
+    cur = textstats.curate_documents(df, text_col="text column",
+                                     min_tokens=0, min_quality=0.0).first()
+    assert cur["keep"]
+    top = textstats.top_ngram_share(df, id_col="doc_id",
+                                    text_col="text column").first()
+    assert top["top_ngram_share"] > 0
+
+    # a reserved word as a column name
+    df2 = spark.createDataFrame([(1, "tiny")], ["doc_id", "select"])
+    assert textstats.curate_documents(
+        df2, text_col="select").first()["drop_reasons"] == ["too_short"]

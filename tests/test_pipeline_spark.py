@@ -279,3 +279,69 @@ def test_compact_parquet_honors_target_file_size(spark, tmp_path):
     assert stats["bytes"] == measured
     assert stats["files_after"] == expected > 1
     assert stats["rows"] == 40_000
+
+
+def test_compact_parquet_is_selective(spark, tmp_path):
+    """rewrite_data_files semantics (VERDICT r03 #1): only files below
+    small_file_ratio × target are rewritten; well-sized files pass through
+    BYTE-IDENTICAL (copied, never re-shuffled), and content survives."""
+    import hashlib
+    import os
+
+    src = str(tmp_path / "mixed")
+    # two well-sized (~>0.75 MB at target 1 MB) incompressible files
+    big = spark.range(14_000).selectExpr(
+        "cast(id as string) AS k",
+        "repeat(sha2(cast(id as string), 512), 4) AS c")
+    big.repartition(2).write.parquet(src)
+    # plus 40 sliver files of the same schema
+    sliver = spark.range(14_000, 15_000).selectExpr(
+        "cast(id as string) AS k",
+        "repeat(sha2(cast(id as string), 512), 4) AS c")
+    sliver.repartition(40).write.mode("append").parquet(src)
+
+    def listing(path):
+        return {f: os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(path)
+                for f in fs if f.endswith(".parquet")}
+
+    before = listing(src)
+    threshold = int(0.75 * 1024 * 1024)
+    large_names = {f for f, s in before.items() if s >= threshold}
+    assert len(large_names) == 2  # premise: the two big files clear the bar
+
+    out = str(tmp_path / "selective")
+    stats = pipeline.compact_parquet(spark, src, out, target_file_mb=1)
+    assert stats["copied_files"] == 2
+    assert stats["rewritten_files"] == len(before) - 2
+    assert stats["rows"] == 15_000
+
+    after = listing(out)
+    # the large files appear under their ORIGINAL names with identical bytes
+    for name in large_names:
+        assert name in after
+        h = lambda p: hashlib.md5(open(p, "rb").read()).hexdigest()  # noqa: E731
+        src_file = next(os.path.join(r, f) for r, _d, fs in os.walk(src)
+                        for f in fs if f == name)
+        out_file = next(os.path.join(r, f) for r, _d, fs in os.walk(out)
+                        for f in fs if f == name)
+        assert h(src_file) == h(out_file)
+    # slivers collapsed: total output files = 2 passthrough + ceil(small/target)
+    import math
+    small_bytes = sum(s for f, s in before.items() if f not in large_names)
+    assert stats["files_after"] == 2 + math.ceil(small_bytes / (1024 * 1024))
+
+    a = spark.read.parquet(src).toPandas().sort_values("k").reset_index(drop=True)
+    b = spark.read.parquet(out).toPandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_compact_parquet_refuses_in_place(spark, tmp_path):
+    """output == input would make Spark's overwrite delete the source
+    mid-scan — must raise, including on trailing-slash spellings."""
+    src = str(tmp_path / "t")
+    spark.range(10).write.parquet(src)
+    with pytest.raises(ValueError, match="output_path equals input_path"):
+        pipeline.compact_parquet(spark, src, src)
+    with pytest.raises(ValueError, match="output_path equals input_path"):
+        pipeline.compact_parquet(spark, src, src + "/")
