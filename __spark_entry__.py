@@ -35,8 +35,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable SQL per query — EVERY catalog entry has one: the
-    hash-based operators included (SimHash via the shared md5 primitive;
-    MinHash/LSH via a bit-exact SQL rendering of Spark's xxhash64 in
+    hash-based operators included (SimHash and MinHash/LSH via the bit-exact
+    SQL rendering of Spark's xxhash64 in
     br_doc_ocr_spark/duckdb_xxh64.py; the extraction family via committed
     per-SF golden-kernel fixtures)."""
     return _catalog.oracle_sql()

@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     "dedup_token_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "text_quality", "text_langid", "text_fingerprint",
     "dataset_conversation", "ann_topk", "ann_knn_join",
-    "ann_cosine_topk_int8",
+    "ann_cosine_topk_int8", "curate_drop_reasons", "redact_text_audit",
 ]
 
 
@@ -128,6 +128,30 @@ def _host_probe(procs_low: int, procs_high: int, rounds: int = 3) -> dict:
     }
 
 
+def _kernel_single_core(n_turns: int = 20_000, reps: int = 3) -> dict:
+    """Single-thread `extract_batch` rate on synthetic turns — the
+    CONTROLLED kernel metric (BENCH.md 'Scaling on a shared host'): no
+    Spark, no shuffle, one core, so it moves only when the kernel itself
+    does, unlike the wall-clock numbers that breathe with this host's
+    multi-minute CPU-grant windows. Reported in the JSON so BASELINE.md can
+    cite an artifact-backed figure (VERDICT r03 #2)."""
+    from br_doc_ocr_spark.core.extract import extract_batch
+    from br_doc_ocr_spark.synth import make_transcripts_pandas
+
+    df = make_transcripts_pandas(n_convs=max(n_turns // 75, 1),
+                                 mean_turns=75, seed=7).head(n_turns)
+    runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = extract_batch(df)
+        runs.append(time.perf_counter() - t0)
+    assert len(out) == len(df)
+    best = min(runs)
+    return {"turns": len(df),
+            "turns_per_sec": round(len(df) / best, 1),
+            "runs_sec": [round(t, 3) for t in runs]}
+
+
 def _run_extraction(spark, input_path: str, warm: bool = True,
                     reps: int = 5) -> tuple[float, int, list[float]]:
     """Best of ``reps`` warm runs (all rep times are reported alongside in
@@ -174,11 +198,17 @@ def main() -> None:
     # warm the JVM/Python workers once so timings measure the plan, not init
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
+    extra["kernel_single_core"] = _kernel_single_core()
+
     elapsed, n_turns, runs = _run_extraction(spark, tpath)
     timings["extract_pipeline"] = round(elapsed, 3)
     extra["extract_turns"] = n_turns
     extra["extract_turns_per_sec"] = round(n_turns / elapsed, 1)
     extra["extract_runs_sec"] = runs
+    # per-session spread, not just the best: this host's CPU grant varies in
+    # multi-minute windows, so the range IS the honest reading
+    extra["extract_turns_per_sec_range"] = [
+        round(n_turns / max(runs), 1), round(n_turns / min(runs), 1)]
 
     for name in (BENCH_QUERIES if os.environ.get(
             "SPARK_GRAFT_BENCH_CATALOG", "1") != "0" else []):

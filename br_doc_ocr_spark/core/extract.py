@@ -267,6 +267,8 @@ def extract_turn(text: str | None,
     }
     if redact_fields is not None:
         row["redacted_text"] = redacted
+        row["redaction_residuals"] = count_redaction_residuals(
+            redacted, redact_fields)
     return row
 
 
@@ -333,6 +335,20 @@ def redact_text(text: str | None, spans: list[dict[str, Any]],
     return "".join(parts)
 
 
+def count_redaction_residuals(redacted: str | None,
+                              redact_fields: frozenset[str]) -> int:
+    """Residual-identifier audit (VERDICT r03 #5): span-based masking scrubs
+    exactly what the scanner found, so the completeness proof is a SECOND
+    scan of the REDACTED text — any span of a redacted field the scanner
+    still detects there is an escape (e.g. a value the first pass's claim
+    arithmetic attributed to a different field). Returns the escape count;
+    0 is the invariant the pipeline's lineage carries per partition."""
+    if not redacted:
+        return 0
+    _, spans, _ = scan_fields(redacted)
+    return sum(1 for s in spans if s["field"] in redact_fields)
+
+
 def extract_batch(batch: pd.DataFrame,
                   allowed_fields: frozenset[str] | None = None,
                   redact_fields: frozenset[str] | None = None) -> pd.DataFrame:
@@ -354,7 +370,7 @@ def extract_batch(batch: pd.DataFrame,
         "confidence_scores", "low_confidence_fields", "n_fields", "status",
     ]
     if redact_fields is not None:
-        cols.append("redacted_text")
+        cols += ["redacted_text", "redaction_residuals"]
     out: dict[str, list[Any]] = {c: [None] * n for c in cols}
     texts = batch["text"].tolist()
     for i, text in enumerate(texts):
@@ -368,6 +384,7 @@ def extract_batch(batch: pd.DataFrame,
             }
             if redact_fields is not None:
                 row["redacted_text"] = None
+                row["redaction_residuals"] = 0
         for key, value in row.items():
             out[key][i] = value
 
@@ -379,7 +396,7 @@ def extract_batch(batch: pd.DataFrame,
         "ts": batch["ts"].values,
         **out,
     })
-    columns = OUTPUT_COLUMNS + (["redacted_text"]
+    columns = OUTPUT_COLUMNS + (["redacted_text", "redaction_residuals"]
                                 if redact_fields is not None else [])
     return result[columns]
 
@@ -537,6 +554,7 @@ def extract_one(
                 result["low_confidence_fields"] = r["low_confidence_fields"]
             if redact_fields is not None:
                 result["redacted_text"] = r["redacted_text"]
+                result["redaction_residuals"] = r["redaction_residuals"]
         except Exception as e:  # the API's 500-channel, shaped as a result
             result = {
                 "document_type": document_type or "unknown",
@@ -550,6 +568,7 @@ def extract_one(
                 result["low_confidence_fields"] = []
             if redact_fields is not None:
                 result["redacted_text"] = None
+                result["redaction_residuals"] = 0
         result["processing_time_ms"] = int((_time.perf_counter() - t0) * 1000)
         return result
 

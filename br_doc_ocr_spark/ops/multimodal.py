@@ -10,10 +10,15 @@ signatures, Arrow batch shapes — is real and tested; the decoder is either
 
 - :class:`FakeDecoder` (default): deterministic bytes→"pixels" synthesis so
   every downstream stage (resize / orient / frame-sample / feature-extract)
-  runs end-to-end with checkable numbers, or
-- :class:`LibraryDecoder`: the real thing, raising ``NotImplementedError``
-  with the exact swap instructions (PIL/torchaudio/PyAV) — the clearly-marked
-  stub the production deployment replaces.
+  runs end-to-end with checkable numbers,
+- :class:`PngDecoder`: REAL image decode with no external dependency —
+  stdlib-zlib PNG baseline profile (:mod:`pngio`), so the image family runs
+  end-to-end on real bytes even in this library-less sandbox, or
+- :class:`LibraryDecoder`: the full-codec path — PIL-backed image decode
+  behind an import gate (the reference's own dependency), audio/video
+  raising ``NotImplementedError`` with the exact swap instructions
+  (torchaudio/PyAV) — the clearly-marked stubs a production deployment
+  replaces.
 
 Schema:
 
@@ -80,14 +85,65 @@ class FakeDecoder:
         return self.decode_image(frame_payload, width, height)
 
 
+class PngDecoder:
+    """REAL image decode, zero external dependencies: payloads are PNG
+    bytes, decoded by the stdlib-zlib + NumPy codec in :mod:`pngio`
+    (baseline profile: 8-bit gray/RGB/palette/alpha, all scanline filters;
+    alpha composites on white = the reference's normalize_image M5). The
+    file's own dimensions are authoritative; mismatched metadata raises
+    rather than silently mis-shaping downstream features."""
+
+    def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        from br_doc_ocr_spark.ops import pngio
+
+        img = pngio.decode_png(payload)
+        h, w = img.shape[:2]
+        if (w, h) != (width, height):
+            raise ValueError(
+                f"media metadata says {width}x{height} but the PNG decodes "
+                f"to {w}x{h} — refusing to feature-extract mislabeled media")
+        return img
+
+    def decode_audio(self, payload: bytes, n_samples: int):
+        raise NotImplementedError(
+            "PngDecoder handles images only; route audio rows to another "
+            "decoder")
+
+    def decode_video_frame(self, payload: bytes, frame_idx: int,
+                           width: int, height: int):
+        raise NotImplementedError(
+            "PngDecoder handles images only; route video rows to another "
+            "decoder")
+
+
 class LibraryDecoder:
-    """The production decoder — STUB. Swap in PIL / torchaudio / PyAV here;
-    none are installed in this sandbox."""
+    """The full-codec production decoder. Image decode uses PIL when it is
+    installed (the reference's own dependency, ``services/preprocessing.py:
+    25-63``) — gated behind an import so environments without it (this
+    sandbox) get a clear error; PNG payloads need no library at all
+    (:class:`PngDecoder`). Audio/video remain documented stubs
+    (torchaudio / PyAV)."""
 
     def decode_image(self, payload: bytes, width: int, height: int):
-        raise NotImplementedError(
-            "real image decode requires PIL: Image.open(io.BytesIO(payload)) "
-            "— not available in this environment; use FakeDecoder")
+        try:
+            from PIL import Image  # noqa: PLC0415
+        except ImportError as e:
+            raise NotImplementedError(
+                "general image decode requires PIL (Image.open over the "
+                "payload bytes) — not installed in this environment; PNG "
+                "payloads work dependency-free via PngDecoder") from e
+        import io
+
+        img = Image.open(io.BytesIO(payload))
+        if img.mode == "RGBA":  # composite on white — normalize_image M5
+            from PIL import Image as _I
+
+            bg = _I.new("RGB", img.size, (255, 255, 255))
+            bg.paste(img, mask=img.split()[3])
+            img = bg
+        elif img.mode != "RGB":
+            img = img.convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
 
     def decode_audio(self, payload: bytes, n_samples: int):
         raise NotImplementedError(
@@ -243,6 +299,35 @@ def sample_video_frames(media: DataFrame, decoder=None,
     vids = media.filter(media.kind == "video")
     return vids.mapInPandas(video_frame_sample_kernel(decoder, every_nth),
                             schema=VIDEO_FRAMES_DDL)
+
+
+def synth_png_media(spark: SparkSession, n: int = 12) -> DataFrame:
+    """Deterministic REAL-PNG media table: seeded RGB gradient images
+    encoded to actual PNG bytes (pngio.encode_png), metadata matching the
+    encoded dimensions — the e2e corpus for :class:`PngDecoder`. Dimensions
+    cross MAX_DIMENSION so the resize path is exercised on real decodes."""
+    import pandas as pd  # noqa: F811
+
+    from br_doc_ocr_spark.ops import pngio
+
+    rows = []
+    for i in range(n):
+        width = 96 + (i % 5) * 288   # 96..1248: crosses MAX_DIMENSION
+        height = 64 + (i % 7) * 192
+        x = np.arange(width, dtype=np.uint32)
+        y = np.arange(height, dtype=np.uint32)[:, None]
+        img = np.stack([
+            ((x + 7 * i) % 256 + 0 * y).astype(np.uint8)
+            + np.zeros((height, width), np.uint8),
+            ((y * 3 + i) % 256).astype(np.uint8)
+            + np.zeros((height, width), np.uint8),
+            ((x[None, :] + y * 2 + i * 13) % 256).astype(np.uint8),
+        ], axis=2)
+        rows.append((i, "image", bytearray(pngio.encode_png(img)), {
+            "width": width, "height": height, "n_frames": 1,
+            "sample_rate": 0, "format": "png"}))
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA_DDL)
 
 
 def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:

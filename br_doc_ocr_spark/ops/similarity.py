@@ -237,6 +237,43 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
                         .otherwise(sf.transform(v, code))))
 
 
+def _quantize_query(query_vec: list[float]) -> list[int]:
+    """Driver-side int8 quantization of the literal query vector — identical
+    arithmetic to :func:`quantize_embeddings` (floor(x/scale + 0.5), ±127
+    clamp) so query codes match what the column expression would produce."""
+    import math
+
+    q_scale = max(abs(x) for x in query_vec) / 127.0
+    if q_scale == 0.0:
+        return [0] * len(query_vec)
+    return [int(max(min(math.floor(x / q_scale + 0.5), 127), -127))
+            for x in query_vec]
+
+
+def _int8_score(q_codes: list[int]) -> tuple[Column, Column]:
+    """(int_dot, code-space cosine) over a ``q_codes`` codes column vs the
+    literal query codes. Per-vector scales cancel in the code-space cosine,
+    so everything is EXACT integer dot products (|dot| ≤ dim·127² fits a
+    double exactly → bit-identical ranking across engines). Emitted as
+    parsed SQL expressions — the Column-composed lambda pipeline cost
+    ~0.3 s of py4j round trips per plan build."""
+    import math
+
+    ss_q = float(sum(c * c for c in q_codes))
+    qc = f"array({', '.join(str(c) for c in q_codes)})"
+    # widen BEFORE multiplying: the int8 index stores array<tinyint>, and
+    # same-type tinyint*tinyint stays tinyint — 127² overflows it under ANSI
+    int_dot = sf.expr(
+        f"aggregate(zip_with(q_codes, {qc}, "
+        f"(x, y) -> cast(x as long) * y), cast(0 as long), (acc, x) -> acc + x)")
+    ss_c = sf.expr(
+        "cast(aggregate(transform(q_codes, x -> cast(x as long) * x), "
+        "cast(0 as long), (acc, x) -> acc + x) as double)")
+    cos_q = sf.when(ss_c == 0.0, sf.lit(0.0)).otherwise(
+        int_dot / (sf.sqrt(ss_c) * sf.lit(math.sqrt(ss_q))))
+    return int_dot, cos_q
+
+
 def cosine_topk_int8(embeddings: DataFrame, query_vec: list[float],
                      k: int = 10, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
@@ -252,29 +289,58 @@ def cosine_topk_int8(embeddings: DataFrame, query_vec: list[float],
     score 0. Returns (id, int_dot, cosine_q rounded) ordered by the
     unrounded code-space cosine with an id tie-break; executes as
     TakeOrderedAndProject like :func:`cosine_topk`."""
-    import math
-
-    q_codes = [0] * len(query_vec)
-    q_scale = max(abs(x) for x in query_vec) / 127.0
-    if q_scale > 0.0:
-        q_codes = [int(max(min(math.floor(x / q_scale + 0.5), 127), -127))
-                   for x in query_vec]
-    ss_q = float(sum(c * c for c in q_codes))
+    q_codes = _quantize_query(query_vec)
     coded = quantize_embeddings(embeddings, vec_col=vec_col)
-    # scoring emitted as SQL strings: the zip_with/aggregate lambda pipeline
-    # built Column-by-Column cost ~0.3 s of py4j round trips per plan build;
-    # one parsed expression each, identical tree (oracle + plan tests pin it)
-    qc = f"array({', '.join(str(c) for c in q_codes)})"
-    int_dot = sf.expr(
-        f"aggregate(zip_with(q_codes, {qc}, "
-        f"(x, y) -> cast(x * y as long)), cast(0 as long), (acc, x) -> acc + x)")
-    ss_c = sf.expr(
-        "cast(aggregate(transform(q_codes, x -> cast(x * x as long)), "
-        "cast(0 as long), (acc, x) -> acc + x) as double)")
-    cos_q = sf.when(ss_c == 0.0, sf.lit(0.0)).otherwise(
-        int_dot / (sf.sqrt(ss_c) * sf.lit(math.sqrt(ss_q))))
+    int_dot, cos_q = _int8_score(q_codes)
     scored = coded.select(sf.col(id_col), int_dot.alias("int_dot"),
                           cos_q.alias("_cos"))
+    return (scored.orderBy(sf.desc("_cos"), sf.asc(id_col)).limit(k)
+            .select(id_col, "int_dot",
+                    sf.round(sf.col("_cos"), 6).alias("cosine_q")))
+
+
+def write_ivf_index_int8(embeddings: DataFrame, path: str,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         n_bits: int = 8, files_per_cell: int = 1) -> None:
+    """Quantized IVF index (VERDICT r03 #6): the corpus stored as
+    ``(id, q_scale, q_codes array<tinyint>)`` partitioned by the sign-bit
+    quantizer cell. Two savings compose at probe time: partition pruning
+    reads only the probed cells (~3.5% of files at n_bits=8, d ≤ 1), and
+    the scan reads the int8 CODES instead of the float vectors (~4× fewer
+    bytes — measured on parquet in tests). ``q_scale`` is stored for
+    dequantization/reranking but the code-space-cosine probe never reads
+    it (column pruning, plan-locked). Same ``files_per_cell`` hot-cell
+    salting as :func:`write_ivf_index`."""
+    coded = quantize_embeddings(embeddings, vec_col=vec_col)
+    bucketed = coded.select(
+        sf.col(id_col), sf.col("q_scale"),
+        sf.expr("transform(q_codes, x -> cast(x as tinyint))").alias("q_codes"),
+        ivf_bucket(sf.col(vec_col).cast("array<double>"), n_bits)
+        .alias("bucket"))
+    if files_per_cell > 1:
+        n_parts = 2 * (1 << n_bits) * files_per_cell
+        salt = sf.pmod(sf.hash(sf.col("q_codes")), sf.lit(files_per_cell))
+        out = bucketed.repartition(n_parts, sf.col("bucket"), salt)
+    else:
+        out = bucketed.repartition(sf.col("bucket"))
+    out.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def ivf_topk_indexed_int8(spark, path: str, query_vec: list[float],
+                          k: int = 10, id_col: str = "vec_id",
+                          n_bits: int = 8,
+                          probe_hamming: int = 1) -> DataFrame:
+    """Top-k probe against a :func:`write_ivf_index_int8` materialization:
+    partition pruning (bucket filter at file-listing time) + codes-only
+    column pruning + exact-integer code-space cosine, executed as
+    TakeOrderedAndProject. Returns (id, int_dot, cosine_q) like
+    :func:`cosine_topk_int8`."""
+    cells = probe_buckets(query_vec, n_bits, probe_hamming)
+    q_codes = _quantize_query(query_vec)
+    scan = spark.read.parquet(path).filter(sf.col("bucket").isin(cells))
+    int_dot, cos_q = _int8_score(q_codes)
+    scored = scan.select(sf.col(id_col), int_dot.alias("int_dot"),
+                         cos_q.alias("_cos"))
     return (scored.orderBy(sf.desc("_cos"), sf.asc(id_col)).limit(k)
             .select(id_col, "int_dot",
                     sf.round(sf.col("_cos"), 6).alias("cosine_q")))

@@ -38,6 +38,8 @@ from br_doc_ocr_spark.core.extract import (
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 # Lineage schema (FIXTURES.md §5): no string payload columns permitted.
+# Redacting runs append one count column: redaction_residuals long (the
+# per-partition residual-identifier escape tally — still counts-only).
 LINEAGE_SCHEMA_DDL = (
     "partition_id int, row_count long, success_count long, partial_count long, "
     "failed_count long, error_count long, wall_clock_ms long"
@@ -46,10 +48,12 @@ EXTRACT_WITH_LINEAGE_DDL = OUTPUT_SCHEMA_DDL + ", _partition_id int, _batch_ms l
 
 
 def _extract_ddl(redact: bool) -> str:
-    """Kernel-output DDL for mapInPandas; `redacted_text` rides between the
-    kernel columns and the lineage tags exactly where extract_batch emits
-    it, so name- and position-matching modes both line up."""
-    base = OUTPUT_SCHEMA_DDL + (", redacted_text string" if redact else "")
+    """Kernel-output DDL for mapInPandas; `redacted_text` +
+    `redaction_residuals` ride between the kernel columns and the lineage
+    tags exactly where extract_batch emits them, so name- and
+    position-matching modes both line up."""
+    base = OUTPUT_SCHEMA_DDL + (
+        ", redacted_text string, redaction_residuals int" if redact else "")
     return base + ", _partition_id int, _batch_ms long"
 
 
@@ -186,17 +190,23 @@ def run_extraction(
 
     # Lineage is an aggregation over the extraction output itself — computed
     # in the same plan (no second scan); counts are exact, wall-clock sums the
-    # per-batch kernel timings within each partition.
-    lineage = extracted.groupBy(
-        sf.col("_partition_id").alias("partition_id")
-    ).agg(
+    # per-batch kernel timings within each partition. Redacting runs also
+    # carry the per-partition residual-identifier escape count (the PII
+    # completeness audit, VERDICT r03 #5) — a count, never a payload, so the
+    # lineage table stays PII-free by schema.
+    aggs = [
         sf.count("*").alias("row_count"),
         sf.sum(sf.when(sf.col("status") == "success", 1).otherwise(0)).alias("success_count"),
         sf.sum(sf.when(sf.col("status") == "partial", 1).otherwise(0)).alias("partial_count"),
         sf.sum(sf.when(sf.col("status") == "failed", 1).otherwise(0)).alias("failed_count"),
         sf.sum(sf.when(sf.col("status") == "error", 1).otherwise(0)).alias("error_count"),
         sf.sum("_batch_ms").alias("wall_clock_ms"),
-    )
+    ]
+    if redact_fields is not None:
+        aggs.append(sf.sum("redaction_residuals").alias("redaction_residuals"))
+    lineage = extracted.groupBy(
+        sf.col("_partition_id").alias("partition_id")
+    ).agg(*aggs)
     results = extracted.drop("_partition_id", "_batch_ms")
     # handle for unpersist_extraction (DataFrame instances accept attributes)
     results._extraction_cache = extracted if persist else None
@@ -270,6 +280,7 @@ def run_pipeline(
         sf.lit(snapshot_id).alias("snapshot_id"),
         "partition_id", "row_count", "success_count", "partial_count",
         "failed_count", "error_count", "wall_clock_ms",
+        *(["redaction_residuals"] if redact_fields is not None else []),
     )
     if output_path:
         try:

@@ -473,11 +473,29 @@ def q_set_ops(spark, sf_dir):
       FROM (SELECT p_name || ' ' || cast(p_partkey AS VARCHAR) || ' x' ||
                    cast(p_size AS VARCHAR) AS s FROM part))
     GROUP BY n_digits
+    UNION ALL
+    SELECT 'uf' AS op, uf || ':' || cast(is_valid_state AS VARCHAR) AS key,
+           count(*) AS n
+    FROM (
+      SELECT regexp_extract(orgao, '[A-Z]{2}$', 0) AS uf,
+             CASE WHEN regexp_extract(orgao, '[A-Z]{2}$', 0) IN
+               ('AC','AL','AP','AM','BA','CE','DF','ES','GO','MA','MT','MS',
+                'MG','PA','PB','PR','PE','PI','RJ','RN','RS','RO','RR','SC',
+                'SP','SE','TO') THEN 1 ELSE 0 END AS is_valid_state
+      FROM (SELECT 'SSP-' || substr(n_name, 8, 2) ||
+                   CASE WHEN n_nationkey % 3 = 0 THEN 'SP'
+                        WHEN n_nationkey % 3 = 1 THEN 'RJ' ELSE 'XX' END
+                     AS orgao
+            FROM nation))
+    GROUP BY uf, is_valid_state
     """,
     "M7 flatMap/explode 1→N + agg (multi-document explode shape) AND "
     "F12/F13 digit-count validation core (validate_cnpj / validate_nfe_key) "
-    "— tagged union of the r02 explode_tokens + fn_digit_validation entries "
-    "(merged for the driver's 50-entry window)")
+    "AND F10/U4 extract_state_from_orgao (trailing-UF regex + 27-state "
+    "membership, extraction.py:404-434) — tagged union of the r02 "
+    "explode_tokens + fn_digit_validation entries plus the r03 "
+    "fn_state_extraction entry (merged to free a driver 50-row slot for "
+    "the round-4 redaction/curation entries, VERDICT r03 #1)")
 def q_explode_digit_counts(spark, sf_dir):
     p = t(spark, sf_dir, "part")
     toks = (p.select(sf.explode(sf.split("p_name", " ")).alias("token"))
@@ -492,7 +510,21 @@ def q_explode_digit_counts(spark, sf_dir):
               .groupBy("n_digits").agg(sf.count("*").alias("n"))
               .select(sf.lit("digits").alias("op"),
                       sf.col("n_digits").cast("string").alias("key"), "n"))
-    return toks.unionByName(digits)
+    n = t(spark, sf_dir, "nation")
+    orgao = sf.concat(
+        sf.lit("SSP-"), sf.substring("n_name", 8, 2),
+        sf.when(sf.col("n_nationkey") % 3 == 0, "SP")
+          .when(sf.col("n_nationkey") % 3 == 1, "RJ").otherwise("XX"))
+    uf = sf.regexp_extract(orgao, "[A-Z]{2}$", 0)
+    from br_doc_ocr_spark.core.fields import BRAZIL_STATES
+    valid = sf.when(uf.isin(*sorted(BRAZIL_STATES)), 1).otherwise(0)
+    ufs = (n.select(uf.alias("uf"), valid.alias("is_valid_state"))
+           .groupBy("uf", "is_valid_state").agg(sf.count("*").alias("n"))
+           .select(sf.lit("uf").alias("op"),
+                   sf.concat_ws(":", "uf",
+                                sf.col("is_valid_state").cast("string"))
+                   .alias("key"), "n"))
+    return toks.unionByName(digits).unionByName(ufs)
 
 
 # ===========================================================================
@@ -694,35 +726,7 @@ def q_projection_null_init(spark, sf_dir):
         sf.lit(None).cast("double").alias("valor_total"))
 
 
-@register(
-    "fn_state_extraction",
-    """
-    SELECT uf, is_valid_state, count(*) AS n FROM (
-      SELECT regexp_extract(orgao, '[A-Z]{2}$', 0) AS uf,
-             CASE WHEN regexp_extract(orgao, '[A-Z]{2}$', 0) IN
-               ('AC','AL','AP','AM','BA','CE','DF','ES','GO','MA','MT','MS',
-                'MG','PA','PB','PR','PE','PI','RJ','RN','RS','RO','RR','SC',
-                'SP','SE','TO') THEN 1 ELSE 0 END AS is_valid_state
-      FROM (SELECT 'SSP-' || substr(n_name, 8, 2) ||
-                   CASE WHEN n_nationkey % 3 = 0 THEN 'SP'
-                        WHEN n_nationkey % 3 = 1 THEN 'RJ' ELSE 'XX' END
-                     AS orgao
-            FROM nation))
-    GROUP BY uf, is_valid_state
-    """,
-    "F10/U4 extract_state_from_orgao: trailing-UF regex + 27-state membership "
-    "(extraction.py:404-434)")
-def q_fn_state_extraction(spark, sf_dir):
-    n = t(spark, sf_dir, "nation")
-    orgao = sf.concat(
-        sf.lit("SSP-"), sf.substring("n_name", 8, 2),
-        sf.when(sf.col("n_nationkey") % 3 == 0, "SP")
-          .when(sf.col("n_nationkey") % 3 == 1, "RJ").otherwise("XX"))
-    uf = sf.regexp_extract(orgao, "[A-Z]{2}$", 0)
-    from br_doc_ocr_spark.core.fields import BRAZIL_STATES
-    valid = sf.when(uf.isin(*sorted(BRAZIL_STATES)), 1).otherwise(0)
-    return (n.select(uf.alias("uf"), valid.alias("is_valid_state"))
-            .groupBy("uf", "is_valid_state").agg(sf.count("*").alias("n")))
+# (fn_state_extraction merged into explode_digit_counts as op='uf' — r04)
 
 
 @register(
@@ -797,55 +801,64 @@ _SQL_NTOKENS = ("(CASE WHEN length(trim(text)) = 0 THEN 0 "
                 "ELSE len(string_split_regex(trim(text), '\\s+')) END)")
 
 
-@register(
-    "text_token_stats",
-    f"""
-    SELECT lang, round(avg({_SQL_NTOKENS}), 6)
-             AS avg_tokens,
-           max({_SQL_NTOKENS}) AS max_tokens,
-           count(*) AS n_docs
-    FROM documents GROUP BY lang
-    """,
-    "token counting per language")
-def q_text_token_stats(spark, sf_dir):
-    d = t_wide(spark, sf_dir, "documents")
-    return (d.select("lang", textstats.token_count(sf.col("text")).alias("nt"))
-            .groupBy("lang")
-            .agg(sf.round(sf.avg("nt"), 6).alias("avg_tokens"),
-                 sf.max("nt").alias("max_tokens"),
-                 sf.count("*").alias("n_docs")))
+# (text_token_stats merged into text_quality as a tagged union — r04)
 
 
-def _quality_oracle_sql() -> str:
-    """DuckDB rendering of textstats.quality_score, sharing
-    ``_sql_stopword_hits`` (token-equality counts) and the Unicode
-    punctuation class with the Spark side."""
+def _sql_quality_expr() -> str:
+    """DuckDB rendering of textstats.quality_score as a per-document
+    expression, sharing ``_sql_stopword_hits`` (token-equality counts) and
+    the Unicode punctuation class with the Spark side."""
     en_hits = _sql_stopword_hits(textstats.LANG_STOPWORDS["en"])
-    return f"""
-    SELECT source, round(avg(q), 6) AS avg_quality, count(*) AS n FROM (
-      SELECT source,
-        round(least({_SQL_NTOKENS} / 64.0, 1.0) * 0.4
+    return f"""round(least({_SQL_NTOKENS} / 64.0, 1.0) * 0.4
         + (1.0 - least(
               length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))::DOUBLE
               / greatest(length(text), 1) * 5, 1.0)) * 0.3
         + least({en_hits}::DOUBLE
                / greatest({_SQL_NTOKENS}, 1) * 4.0,
-               1.0) * 0.3, 6) AS q
-      FROM documents)
+               1.0) * 0.3, 6)"""
+
+
+def _quality_tokens_oracle_sql() -> str:
+    return f"""
+    SELECT 'quality' AS op, source AS key,
+           round(avg(q), 6) AS avg_v,
+           CAST(NULL AS BIGINT) AS max_tokens, count(*) AS n
+    FROM (SELECT source, {_sql_quality_expr()} AS q FROM documents)
     GROUP BY source
+    UNION ALL
+    SELECT 'tokens' AS op, lang AS key,
+           round(avg({_SQL_NTOKENS}), 6) AS avg_v,
+           max({_SQL_NTOKENS})::BIGINT AS max_tokens, count(*) AS n
+    FROM documents GROUP BY lang
     """
 
 
 @register(
     "text_quality",
-    _quality_oracle_sql(),
-    "quality scoring: length/punct/stopword ratio filter")
+    _quality_tokens_oracle_sql(),
+    "quality scoring (length/punct/stopword ratio filter) AND token "
+    "counting per language — tagged union of the r03 text_quality + "
+    "text_token_stats entries (both are cheap per-row column stats; merged "
+    "to free a driver 50-row slot for the round-4 redaction/curation "
+    "entries, VERDICT r03 #1)")
 def q_text_quality(spark, sf_dir):
     d = t_wide(spark, sf_dir, "documents")
-    return (d.select("source", textstats.quality_score(sf.col("text")).alias("q"))
-            .groupBy("source")
-            .agg(sf.round(sf.avg("q"), 6).alias("avg_quality"),
-                 sf.count("*").alias("n")))
+    quality = (d.select("source",
+                        textstats.quality_score(sf.col("text")).alias("q"))
+               .groupBy("source")
+               .agg(sf.round(sf.avg("q"), 6).alias("avg_v"),
+                    sf.count("*").alias("n"))
+               .select(sf.lit("quality").alias("op"),
+                       sf.col("source").alias("key"), "avg_v",
+                       sf.lit(None).cast("long").alias("max_tokens"), "n"))
+    tokens = (d.select("lang", textstats.token_count(sf.col("text")).alias("nt"))
+              .groupBy("lang")
+              .agg(sf.round(sf.avg("nt"), 6).alias("avg_v"),
+                   sf.max("nt").cast("long").alias("max_tokens"),
+                   sf.count("*").alias("n"))
+              .select(sf.lit("tokens").alias("op"),
+                      sf.col("lang").alias("key"), "avg_v", "max_tokens", "n"))
+    return quality.unionByName(tokens)
 
 
 @register(
@@ -1144,6 +1157,46 @@ def q_extract_field_counts(spark, sf_dir):
     return (results.select(sf.explode(sf.map_keys("fields")).alias("field"))
             .groupBy("field").agg(sf.count("*").alias("n"))
             .orderBy("field"))
+
+
+@register(
+    "redact_text_audit",
+    f"""
+    WITH g AS ({_golden_cte(_GOLDEN_SF_EXTRACT)})
+    SELECT payload_kind, count(*) AS n_turns,
+           sum(redact_masks)::BIGINT AS total_masks,
+           sum(redaction_residuals)::BIGINT AS total_residuals,
+           sum(redacted_chars)::BIGINT AS total_redacted_chars
+    FROM g GROUP BY payload_kind
+    """,
+    "PII redaction hard gate (VERDICT r03 #1/#5, north rule NFR-005/006 "
+    "spec.md:137-138): the distributed redacting pipeline's per-kind mask "
+    "counts, residual-identifier escapes (count_redaction_residuals — a "
+    "second scan of the REDACTED text), and redacted-text sizes, oracled "
+    "against the golden kernel's single-threaded redaction run frozen in "
+    "the per-SF fixture (tools/regen_sf_goldens.py)")
+def q_redact_text_audit(spark, sf_dir):
+    from br_doc_ocr_spark.core.extract import DEFAULT_REDACT_FIELDS
+    from br_doc_ocr_spark.pipeline import (
+        run_extraction,
+        transcripts_from_documents,
+    )
+
+    results, _ = run_extraction(transcripts_from_documents(spark, sf_dir),
+                                salt=4, redact_fields=DEFAULT_REDACT_FIELDS)
+    mask_set = sf.array(*[sf.lit(f) for f in sorted(DEFAULT_REDACT_FIELDS)])
+    masks = sf.size(sf.filter(
+        "spans", lambda s: sf.array_contains(mask_set, s["field"])))
+    return (results
+            .select("payload_kind", masks.alias("masks"),
+                    "redaction_residuals",
+                    sf.coalesce(sf.length("redacted_text"), sf.lit(0))
+                    .alias("redacted_chars"))
+            .groupBy("payload_kind")
+            .agg(sf.count("*").alias("n_turns"),
+                 sf.sum("masks").alias("total_masks"),
+                 sf.sum("redaction_residuals").alias("total_residuals"),
+                 sf.sum("redacted_chars").alias("total_redacted_chars")))
 
 
 def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8) -> str:
@@ -1701,20 +1754,24 @@ def q_classify_alternatives(spark, sf_dir):
         .orderBy("payload_kind", "alt_kind"))
 
 
-def _langid_oracle_sql() -> str:
-    """DuckDB rendering of textstats.predict_lang, generated from the same
-    LANG_STOPWORDS table so the two sides cannot drift: per-language stopword
-    hit counts via _sql_stopword_hits, argmax via list_max over
-    (hits, lang) structs (struct comparison is lexicographic in DuckDB exactly
-    as array_max over structs is in Spark), 'und' when every count is zero."""
+def _sql_lang_pred_expr() -> str:
+    """DuckDB rendering of textstats.predict_lang as a per-document
+    expression, generated from the same LANG_STOPWORDS table so the two
+    sides cannot drift: per-language stopword hit counts via
+    _sql_stopword_hits, argmax via list_max over (hits, lang) structs
+    (struct comparison is lexicographic in DuckDB exactly as array_max over
+    structs is in Spark), 'und' when every count is zero."""
     structs = ", ".join(
         f"{{'hits': {_sql_stopword_hits(ws)}, 'lang': '{lang}'}}"
         for lang, ws in sorted(textstats.LANG_STOPWORDS.items()))
+    return (f"coalesce(list_max(list_filter([{structs}], "
+            f"x -> x.hits > 0)).lang, 'und')")
+
+
+def _langid_oracle_sql() -> str:
     return f"""
     WITH scored AS (
-      SELECT lang,
-        coalesce(list_max(list_filter([{structs}], x -> x.hits > 0)).lang,
-                 'und') AS lang_pred
+      SELECT lang, {_sql_lang_pred_expr()} AS lang_pred
       FROM documents
     )
     SELECT lang,
@@ -1736,6 +1793,88 @@ def q_text_langid(spark, sf_dir):
             .agg(sf.round(sf.avg((sf.col("lang_pred") == sf.col("lang"))
                                  .cast("double")), 6).alias("accuracy"),
                  sf.count("*").alias("n")))
+
+
+# DuckDB renderings of the repetition fractions (textstats.repetition_stats),
+# shared by the curation oracle. Expressions are inlined per use — DuckDB's
+# CSE handles the repeats; oracle-side cost is irrelevant.
+_SQL_CUR_LINES = ("list_filter(list_transform(string_split(text, chr(10)), "
+                  "x -> trim(x)), x -> x <> '')")
+_SQL_CUR_TOKS = ("list_filter(string_split(regexp_replace(lower(text), "
+                 "'[^\\p{L}\\p{N}]+', ' ', 'g'), ' '), x -> x <> '')")
+
+
+def _sql_dup_line_frac() -> str:
+    L = _SQL_CUR_LINES
+    return (f"round(CASE WHEN len({L}) = 0 THEN 0.0 ELSE "
+            f"1.0 - len(list_distinct({L}))::DOUBLE / len({L}) END, 6)")
+
+
+def _sql_dup_ngram_frac(n: int = 3) -> str:
+    toks = _SQL_CUR_TOKS
+    grams = (f"CASE WHEN len({toks}) < {n} THEN [] "
+             f"ELSE list_transform(range(1, len({toks}) - {n - 1} + 1), "
+             f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')) END")
+    return (f"round(CASE WHEN len({grams}) = 0 THEN 0.0 ELSE "
+            f"1.0 - len(list_distinct({grams}))::DOUBLE / len({grams}) END, 6)")
+
+
+# curation thresholds for the catalog entry — tuned so several reasons fire
+# on the testdata corpora (a histogram of zeros would gate nothing): the
+# synthetic documents are clean prose, so the n-gram ceiling sits at 0.01
+# (the p99 tail, a few docs per SF) purely to exercise that branch; the
+# dup-line branch cannot fire here (all-zero fractions) and is gated by the
+# formula unit tests plus divergence-absence (a cross-engine disagreement
+# would materialize a 'dup_lines' row on one side and fail rows_match)
+_CURATE_PARAMS = dict(min_tokens=40, max_tokens=100_000, min_quality=0.5,
+                      max_dup_line_frac=0.30, max_dup_ngram_frac=0.01,
+                      allowed_langs=("en", "pt", "und"))
+
+
+def _curate_oracle_sql() -> str:
+    p = _CURATE_PARAMS
+    langs = ", ".join(f"'{l}'" for l in sorted(p["allowed_langs"]))
+    return f"""
+    WITH ann AS (
+      SELECT list_filter([
+        CASE WHEN text IS NULL THEN 'null_text' END,
+        CASE WHEN {_SQL_NTOKENS} < {p['min_tokens']} THEN 'too_short' END,
+        CASE WHEN {_SQL_NTOKENS} > {p['max_tokens']} THEN 'too_long' END,
+        CASE WHEN {_sql_quality_expr()} < {p['min_quality']}
+             THEN 'low_quality' END,
+        CASE WHEN {_sql_dup_line_frac()} > {p['max_dup_line_frac']}
+             THEN 'dup_lines' END,
+        CASE WHEN {_sql_dup_ngram_frac()} > {p['max_dup_ngram_frac']}
+             THEN 'dup_ngrams' END,
+        CASE WHEN {_sql_lang_pred_expr()} NOT IN ({langs}) THEN 'lang' END
+      ], x -> x IS NOT NULL) AS drop_reasons
+      FROM documents)
+    SELECT reason, count(*) AS n FROM (
+      SELECT unnest(CASE WHEN len(drop_reasons) = 0 THEN ['_kept']
+                         ELSE drop_reasons END) AS reason
+      FROM ann) GROUP BY reason
+    """
+
+
+@register(
+    "curate_drop_reasons", _curate_oracle_sql(),
+    "corpus-curation hard gate (VERDICT r03 #1): the one-call composed "
+    "pretraining filter (ops/textstats.curate_documents — token bounds + "
+    "quality floor + repetition ceilings + language allowlist, "
+    "annotate-don't-delete) aggregated to its drop-reason histogram plus a "
+    "'_kept' row; the DuckDB oracle re-derives every per-document stat "
+    "(whitespace tokens, quality, dup-line/dup-ngram fractions, 24-language "
+    "stopword argmax) from the same generated SQL components the other "
+    "text oracles use, so the two engines cannot drift")
+def q_curate_drop_reasons(spark, sf_dir):
+    cur = textstats.curate_documents(t_wide(spark, sf_dir, "documents"),
+                                     **_CURATE_PARAMS)
+    # kept rows tagged inline so the (expensive) stats stack runs ONCE —
+    # a union of two aggregation branches would evaluate it twice
+    tagged = sf.when(sf.col("keep"), sf.array(sf.lit("_kept"))) \
+               .otherwise(sf.col("drop_reasons"))
+    return (cur.select(sf.explode(tagged).alias("reason"))
+            .groupBy("reason").agg(sf.count("*").alias("n")))
 
 
 _MM_IMAGE_GOLDEN = [
@@ -1822,12 +1961,16 @@ def q_multimodal_video_frames(spark, sf_dir):
 DRIVER_RECORD_CAP = 50
 
 _DRIVER_ORDER = [
+    # new this round (r04): the round-3 flagship ops get hard driver rows
+    # (VERDICT r03 #1) — slots freed by merging text_token_stats into
+    # text_quality and fn_state_extraction into explode_digit_counts
+    "redact_text_audit", "curate_drop_reasons",
     # the 10 entries with no driver CORRECTNESS row in r02 (VERDICT r02 #1)
     "text_fingerprint", "eval_extraction_report", "extract_schema_guided",
     "explode_multidoc_segments", "extract_multidoc", "classify_alternatives",
     "text_langid", "multimodal_image_features", "multimodal_audio_features",
     "multimodal_video_frames",
-    # new this round
+    # new in r03
     "ann_cosine_topk_int8",
     # extraction + LLM-data operators
     "extract_pipeline_summary", "extract_field_counts",
@@ -1841,9 +1984,9 @@ _DRIVER_ORDER = [
     "window_topk_running", "window_lag_gap", "sort_report",
     "agg_rollup_time", "agg_approx_distinct", "set_ops",
     "explode_digit_counts", "fn_cnpj_date_normalize", "fn_currency_parse",
-    "fn_invoice_totals", "fn_json_extract", "fn_state_extraction",
+    "fn_invoice_totals", "fn_json_extract",
     "deterministic_split", "event_time_window", "eval_prf_flags",
-    "dataset_conversation", "text_token_stats", "text_quality",
+    "dataset_conversation", "text_quality",
 ]
 
 if set(_DRIVER_ORDER) != set(REGISTRY):

@@ -63,8 +63,9 @@ def extract_stream(transcripts: DataFrame,
     see ``core.extract.redact_text``)."""
     if target_partitions:
         transcripts = transcripts.repartition(target_partitions)
-    ddl = OUTPUT_SCHEMA_DDL + (", redacted_text string"
-                               if redact_fields is not None else "")
+    ddl = OUTPUT_SCHEMA_DDL + (
+        ", redacted_text string, redaction_residuals int"
+        if redact_fields is not None else "")
     kernel = (functools.partial(extract_batches, redact_fields=redact_fields)
               if redact_fields is not None else extract_batches)
     return transcripts.mapInPandas(kernel, schema=ddl)

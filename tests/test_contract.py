@@ -243,4 +243,5 @@ def test_extract_one_redact_opt_in_only():
     assert "redacted_text" not in base
     red = extract_one(t, redact_fields=DEFAULT_REDACT_FIELDS)
     assert red["redacted_text"] == "CPF [CPF] em anexo"
-    assert set(red) - set(base) == {"redacted_text"}
+    assert set(red) - set(base) == {"redacted_text", "redaction_residuals"}
+    assert red["redaction_residuals"] == 0

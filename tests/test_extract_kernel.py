@@ -238,3 +238,56 @@ def test_redact_uses_unfiltered_spans_under_schema_projection():
                        redact_fields=frozenset({"cpf"}))
     assert "cpf" not in row["fields"]          # projected away
     assert "[CPF]" in row["redacted_text"]     # still scrubbed
+
+
+def test_redaction_residual_audit_counts_escapes():
+    """VERDICT r03 #5: span-based masking only scrubs what the scanner
+    found — the residual audit re-scans the REDACTED text and counts any
+    identifier of a redacted field that still matches. Adversarial
+    near-misses (spaced CPF digits, fenced JSON, punctuation-split runs)
+    must come back residuals=0 — either masked or never detectable — and a
+    synthetic escape must be COUNTED, not silently passed."""
+    from br_doc_ocr_spark.core.extract import (
+        DEFAULT_REDACT_FIELDS,
+        count_redaction_residuals,
+        extract_turn,
+    )
+
+    adversarial = [
+        "CPF 123.456.789-01 plain",                       # the normal case
+        "CPF 1 2 3 . 4 5 6 . 7 8 9 - 0 1 spaced out",     # spaced digits
+        '```json\n{"cpf": "123.456.789-01"}\n```',        # fenced JSON
+        "cpf:123.456.789-01;cnpj:12.345.678/0001-90",     # punctuation-glued
+        "12345678901 bare digits",                         # unformatted CPF
+        "chave 12345678901234567890123456789012345678901234 fim",  # NFe key
+        "CPF 123.456.789-01-123.456.789-02 merged run",   # '-'-merged pair
+    ]
+    for payload in adversarial:
+        r = extract_turn(payload, redact_fields=DEFAULT_REDACT_FIELDS)
+        assert r["redaction_residuals"] == 0, payload
+        # and independently: re-scanning the redacted text finds nothing
+        assert count_redaction_residuals(
+            r["redacted_text"], DEFAULT_REDACT_FIELDS) == 0, payload
+
+    # a hand-built escape IS counted (the audit is not vacuous)
+    assert count_redaction_residuals(
+        "leaked 123.456.789-01 here", DEFAULT_REDACT_FIELDS) == 1
+    assert count_redaction_residuals(None, DEFAULT_REDACT_FIELDS) == 0
+
+
+def test_redaction_residuals_ride_lineage(spark, tiny_transcripts_path):
+    """The per-partition residual tally lands in lineage (counts only, no
+    payload) and sums to zero over the fixture corpus."""
+    from br_doc_ocr_spark import pipeline
+    from br_doc_ocr_spark.core.extract import DEFAULT_REDACT_FIELDS
+
+    _, lineage = pipeline.run_extraction(
+        pipeline.read_transcripts(spark, tiny_transcripts_path),
+        salt=8, redact_fields=DEFAULT_REDACT_FIELDS)
+    got = lineage.toPandas()
+    assert "redaction_residuals" in got.columns
+    assert int(got["redaction_residuals"].sum()) == 0
+    # non-redacting runs keep the lean schema
+    _, plain = pipeline.run_extraction(
+        pipeline.read_transcripts(spark, tiny_transcripts_path), salt=8)
+    assert "redaction_residuals" not in plain.columns

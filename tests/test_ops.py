@@ -674,3 +674,47 @@ def test_textstats_nonplain_column_names_quoted(spark):
     df2 = spark.createDataFrame([(1, "tiny")], ["doc_id", "select"])
     assert textstats.curate_documents(
         df2, text_col="select").first()["drop_reasons"] == ["too_short"]
+
+
+def test_ivf_int8_index_matches_brute_int8_and_shrinks_bytes(spark, tmp_path):
+    """The quantized IVF probe returns exactly the int8 brute-force ranking
+    restricted to the probed cells, keeps recall vs the float path, and the
+    index's data files are materially smaller than the float index (the 4×
+    read-cut claim, measured on disk, not asserted from theory)."""
+    import os
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = [float(v) for v in
+          emb.filter("vec_id = 0").select("embedding").first()[0]]
+
+    pf = str(tmp_path / "ivf_float")
+    p8 = str(tmp_path / "ivf_int8")
+    similarity.write_ivf_index(emb, pf, n_bits=4)
+    similarity.write_ivf_index_int8(emb, p8, n_bits=4)
+
+    got = similarity.ivf_topk_indexed_int8(spark, p8, qv, k=10, n_bits=4,
+                                           probe_hamming=1).collect()
+    # ground truth: int8 brute scoring over the same probed cells
+    cells = similarity.probe_buckets(qv, n_bits=4, probe_hamming=1)
+    cell_rows = emb.filter(
+        similarity.ivf_bucket(
+            emb["embedding"].cast("array<double>"), 4).isin(cells))
+    want = similarity.cosine_topk_int8(cell_rows, qv, k=10).collect()
+    assert [(r["vec_id"], r["int_dot"]) for r in got] == \
+           [(r["vec_id"], r["int_dot"]) for r in want]
+
+    # recall@10 vs the exact float baseline stays over the multi-probe bar
+    exact = {r["vec_id"] for r in
+             similarity.cosine_topk(emb, qv, k=10).collect()}
+    assert len(exact & {r["vec_id"] for r in got}) >= 6
+
+    def data_bytes(p):
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _d, fs in os.walk(p)
+                   for f in fs if f.endswith(".parquet"))
+
+    # ≥ ~1.8× smaller on disk at this toy scale: 16 per-cell files mean
+    # parquet footers/dictionaries are a large constant share here; the
+    # payload columns themselves shrink ~4× (float64-on-disk → packed
+    # int8) and the ratio approaches that as file sizes grow
+    assert data_bytes(p8) < 0.55 * data_bytes(pf)

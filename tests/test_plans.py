@@ -289,3 +289,25 @@ def test_heap_scales_with_task_concurrency(spark, monkeypatch):
     # spikes that OOMed the 24 g heap at 20M rows (session.py rationale)
     assert spark.conf.get(
         "spark.sql.inMemoryColumnarStorage.batchSize") == "1000"
+
+
+def test_ivf_int8_probe_prunes_partitions_and_columns(spark, tmp_path):
+    """The quantized IVF probe (VERDICT r03 #6) composes BOTH savings:
+    bucket partition pruning at file-listing time AND codes-only column
+    pruning — q_scale is stored in the index but the code-space-cosine
+    probe must not read it (ReadSchema is the scan's byte bill at 100 TB)."""
+    from br_doc_ocr_spark.ops import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf8")
+    similarity.write_ivf_index_int8(emb, path, n_bits=4)
+    qv = [float(v) for v in emb.select("embedding").first()[0]]
+    probe = similarity.ivf_topk_indexed_int8(spark, path, qv, k=10, n_bits=4,
+                                             probe_hamming=1)
+    plan = plan_of(probe)
+    part_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "bucket" in part_line and "IN" in part_line.upper()
+    read_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "q_codes" in read_line
+    assert "q_scale" not in read_line   # scales cancel — never read
+    assert "TakeOrderedAndProject" in plan

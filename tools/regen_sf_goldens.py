@@ -34,6 +34,8 @@ SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
 
 def main() -> None:
     from br_doc_ocr_spark.core.extract import (
+        DEFAULT_REDACT_FIELDS,
+        extract_batch,
         oracle_extract,
         oracle_extract_documents,
     )
@@ -49,6 +51,15 @@ def main() -> None:
         transcripts = transcripts_from_documents(spark, sf_dir).toPandas()
 
         golden = oracle_extract(transcripts)
+        # redaction golden: same kernel with the identifier mask on, sorted
+        # to the same (conv_id, turn_idx) order so rows align
+        red = extract_batch(transcripts, None, DEFAULT_REDACT_FIELDS
+                            ).sort_values(["conv_id", "turn_idx"]
+                                          ).reset_index(drop=True)
+        assert (red["conv_id"] == golden["conv_id"]).all()
+        redact_masks = [sum(1 for s in spans
+                            if s["field"] in DEFAULT_REDACT_FIELDS)
+                        for spans in red["spans"]]
         extract_parts.append(pd.DataFrame({
             "corpus_key": corpus_key,
             "conv_id": golden["conv_id"],
@@ -59,6 +70,10 @@ def main() -> None:
                        for m in golden["fields"]],
             "n_fields": golden["n_fields"],
             "status": golden["status"],
+            "redact_masks": redact_masks,
+            "redaction_residuals": red["redaction_residuals"],
+            "redacted_chars": [len(t) if t is not None else 0
+                               for t in red["redacted_text"]],
         }))
 
         md = oracle_extract_documents(transcripts)
