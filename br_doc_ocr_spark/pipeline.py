@@ -21,6 +21,7 @@ Spark's execution model per the north rule:
 from __future__ import annotations
 
 import time
+import weakref
 from typing import Iterable, Iterator
 
 import pandas as pd
@@ -208,13 +209,29 @@ def run_extraction(
         sf.col("_partition_id").alias("partition_id")
     ).agg(*aggs)
     results = extracted.drop("_partition_id", "_batch_ms")
-    # handle for unpersist_extraction (DataFrame instances accept attributes)
-    results._extraction_cache = extracted if persist else None
+    if persist:
+        _EXTRACTION_CACHES[results] = extracted
     return results, lineage
 
 
+# results-frame -> persisted kernel-output frame, for unpersist_extraction.
+# A side registry (not an attribute stashed on the DataFrame instance):
+# weak keys so an abandoned results frame never pins its cache entry, and
+# no reliance on DataFrame accepting ad-hoc attributes across Spark versions.
+_EXTRACTION_CACHES: "weakref.WeakKeyDictionary[DataFrame, DataFrame]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _share_extraction_cache(derived: DataFrame, source: DataFrame) -> None:
+    """Make ``unpersist_extraction(derived)`` release ``source``'s cache."""
+    cache = _EXTRACTION_CACHES.get(source)
+    if cache is not None:
+        _EXTRACTION_CACHES[derived] = cache
+
+
 def unpersist_extraction(results: DataFrame) -> None:
-    cache = getattr(results, "_extraction_cache", None)
+    cache = _EXTRACTION_CACHES.pop(results, None)
     if cache is not None:
         cache.unpersist()
 
@@ -272,7 +289,7 @@ def run_pipeline(
                                       redact_fields=redact_fields)
     if drop_confidence:
         dropped = results.drop("confidence_scores", "low_confidence_fields")
-        dropped._extraction_cache = getattr(results, "_extraction_cache", None)
+        _share_extraction_cache(dropped, results)
         results = dropped
     ordered = with_stable_order(results)
     lineage = lineage.select(

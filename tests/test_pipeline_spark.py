@@ -392,3 +392,38 @@ def test_iceberg_reader_contract(spark, tiny_transcripts, tmp_path):
     # and the extraction pipeline runs unchanged over the Iceberg scan
     results, _ = pipeline.run_extraction(pinned, salt=4)
     assert results.count() == half.count()
+
+
+def test_extraction_cache_registry(spark, tiny_transcripts_path):
+    """unpersist_extraction releases the persisted kernel output via the
+    side registry (no attribute stashed on the DataFrame instance), and an
+    abandoned results frame does not pin its registry entry (weak keys)."""
+    import gc
+    import weakref
+
+    transcripts = pipeline.read_transcripts(spark, tiny_transcripts_path)
+    results, _ = pipeline.run_extraction(transcripts, persist=True)
+    assert not hasattr(results, "_extraction_cache")
+    cache = pipeline._EXTRACTION_CACHES[results]
+    assert cache.is_cached
+    pipeline.unpersist_extraction(results)
+    assert results not in pipeline._EXTRACTION_CACHES
+    assert not cache.is_cached
+
+    # drop_confidence derives a new frame; the registry entry must follow it
+    results2, _ = pipeline.run_extraction(transcripts, persist=True)
+    derived = results2.drop("confidence_scores", "low_confidence_fields")
+    pipeline._share_extraction_cache(derived, results2)
+    assert pipeline._EXTRACTION_CACHES[derived] is pipeline._EXTRACTION_CACHES[results2]
+    pipeline.unpersist_extraction(derived)
+    pipeline.unpersist_extraction(results2)  # pop the source frame's entry too
+
+    # weak keys: losing the last reference clears the entry
+    results3, _ = pipeline.run_extraction(transcripts, persist=True)
+    ref = weakref.ref(results3)
+    cache3 = pipeline._EXTRACTION_CACHES[results3]
+    del results3
+    gc.collect()
+    assert ref() is None
+    assert len(list(pipeline._EXTRACTION_CACHES.keys())) == 0
+    cache3.unpersist()
