@@ -11,9 +11,12 @@ signatures, Arrow batch shapes — is real and tested; the decoder is either
 - :class:`FakeDecoder` (default): deterministic bytes→"pixels" synthesis so
   every downstream stage (resize / orient / frame-sample / feature-extract)
   runs end-to-end with checkable numbers,
-- :class:`PngDecoder`: REAL image decode with no external dependency —
-  stdlib-zlib PNG baseline profile (:mod:`pngio`), so the image family runs
-  end-to-end on real bytes even in this library-less sandbox, or
+- :class:`PngDecoder` / :class:`JpegDecoder` / :class:`ImageDecoder`:
+  REAL image decode with no external dependency — stdlib-zlib PNG baseline
+  profile (:mod:`pngio`) and baseline-JPEG per ITU T.81 (:mod:`jpegio`);
+  :class:`ImageDecoder` sniffs the payload's magic bytes and routes to the
+  right codec, so the image family runs end-to-end on real bytes of both
+  dominant web formats even in this library-less sandbox, or
 - :class:`LibraryDecoder`: the full-codec path — PIL-backed image decode
   behind an import gate (the reference's own dependency), audio/video
   raising ``NotImplementedError`` with the exact swap instructions
@@ -116,22 +119,90 @@ class PngDecoder:
             "decoder")
 
 
+class JpegDecoder:
+    """REAL image decode, zero external dependencies: payloads are baseline
+    JPEG bytes, decoded by the stdlib + NumPy codec in :mod:`jpegio`
+    (ITU T.81 baseline profile: 8-bit Huffman sequential, gray/YCbCr,
+    4:4:4 / 4:2:2 / 4:2:0, restart markers). Grayscale decodes to
+    replicated RGB channels (the seam's RGB contract). The file's own
+    dimensions are authoritative; mismatched metadata raises rather than
+    silently mis-shaping downstream features."""
+
+    def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        from br_doc_ocr_spark.ops import jpegio
+
+        img = jpegio.decode_jpeg(payload)
+        h, w = img.shape[:2]
+        if (w, h) != (width, height):
+            raise ValueError(
+                f"media metadata says {width}x{height} but the JPEG decodes "
+                f"to {w}x{h} — refusing to feature-extract mislabeled media")
+        return img
+
+    def decode_audio(self, payload: bytes, n_samples: int):
+        raise NotImplementedError(
+            "JpegDecoder handles images only; route audio rows to another "
+            "decoder")
+
+    def decode_video_frame(self, payload: bytes, frame_idx: int,
+                           width: int, height: int):
+        raise NotImplementedError(
+            "JpegDecoder handles images only; route video rows to another "
+            "decoder")
+
+
+class ImageDecoder:
+    """Format-sniffing REAL image decoder: routes each payload by its magic
+    bytes — PNG signature → :class:`PngDecoder`, JPEG SOI (FF D8) →
+    :class:`JpegDecoder` — so one kernel run handles a mixed-format media
+    table without a per-format pre-partition. Unknown magic raises naming
+    the leading bytes (never a silent fake)."""
+
+    def __init__(self):
+        self._png = PngDecoder()
+        self._jpeg = JpegDecoder()
+
+    def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return self._png.decode_image(payload, width, height)
+        if payload[:2] == b"\xff\xd8":
+            return self._jpeg.decode_image(payload, width, height)
+        raise ValueError(
+            f"unrecognized image payload (leading bytes "
+            f"{payload[:4].hex()}); PNG and baseline JPEG are decodable "
+            f"dependency-free, other formats need LibraryDecoder")
+
+    def decode_audio(self, payload: bytes, n_samples: int):
+        raise NotImplementedError(
+            "ImageDecoder handles images only; route audio rows to another "
+            "decoder")
+
+    def decode_video_frame(self, payload: bytes, frame_idx: int,
+                           width: int, height: int):
+        raise NotImplementedError(
+            "ImageDecoder handles images only; route video rows to another "
+            "decoder")
+
+
 class LibraryDecoder:
     """The full-codec production decoder. Image decode uses PIL when it is
     installed (the reference's own dependency, ``services/preprocessing.py:
-    25-63``) — gated behind an import so environments without it (this
-    sandbox) get a clear error; PNG payloads need no library at all
-    (:class:`PngDecoder`). Audio/video remain documented stubs
-    (torchaudio / PyAV)."""
+    25-63``) — gated behind an import; without PIL, PNG and baseline-JPEG
+    payloads fall back to the dependency-free codecs (:class:`ImageDecoder`)
+    and only genuinely other formats get the clear error. Audio/video
+    remain documented stubs (torchaudio / PyAV)."""
 
     def decode_image(self, payload: bytes, width: int, height: int):
         try:
             from PIL import Image  # noqa: PLC0415
         except ImportError as e:
+            if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"\xff\xd8":
+                return ImageDecoder().decode_image(payload, width, height)
             raise NotImplementedError(
                 "general image decode requires PIL (Image.open over the "
                 "payload bytes) — not installed in this environment; PNG "
-                "payloads work dependency-free via PngDecoder") from e
+                "and baseline-JPEG payloads work dependency-free via "
+                "ImageDecoder") from e
         import io
 
         img = Image.open(io.BytesIO(payload))
@@ -326,6 +397,41 @@ def synth_png_media(spark: SparkSession, n: int = 12) -> DataFrame:
         rows.append((i, "image", bytearray(pngio.encode_png(img)), {
             "width": width, "height": height, "n_frames": 1,
             "sample_rate": 0, "format": "png"}))
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA_DDL)
+
+
+def synth_jpeg_media(spark: SparkSession, n: int = 8,
+                     start_id: int = 0) -> DataFrame:
+    """Deterministic REAL-JPEG media table: seeded RGB gradients encoded to
+    actual baseline-JFIF bytes (jpegio.encode_jpeg), alternating 4:4:4 and
+    4:2:0 so the decoder's chroma-upsample path is exercised; metadata
+    matches the encoded dimensions. Sizes stay modest — the dependency-free
+    entropy decoder is a per-bit Python loop, built for correctness at
+    test scale, not throughput (the resize-above-cap path is exercised on
+    real bytes by the PNG corpus, whose decode is vectorized)."""
+    import pandas as pd  # noqa: F811
+
+    from br_doc_ocr_spark.ops import jpegio
+
+    rows = []
+    for i in range(n):
+        width = 96 + (i % 5) * 48    # 96..288
+        height = 64 + (i % 7) * 32   # 64..256
+        x = np.arange(width, dtype=np.uint32)
+        y = np.arange(height, dtype=np.uint32)[:, None]
+        img = np.stack([
+            ((x + 7 * i) % 256 + 0 * y).astype(np.uint8)
+            + np.zeros((height, width), np.uint8),
+            ((y * 3 + i) % 256).astype(np.uint8)
+            + np.zeros((height, width), np.uint8),
+            ((x[None, :] + y * 2 + i * 13) % 256).astype(np.uint8),
+        ], axis=2)
+        sub = "4:2:0" if i % 2 else "4:4:4"
+        payload = jpegio.encode_jpeg(img, quality=90, subsampling=sub)
+        rows.append((start_id + i, "image", bytearray(payload), {
+            "width": width, "height": height, "n_frames": 1,
+            "sample_rate": 0, "format": "jpeg"}))
     pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
     return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA_DDL)
 

@@ -1,0 +1,243 @@
+"""jpegio: real baseline-JPEG codec — spec-level pins (Annex K tables,
+canonical Huffman assignment, zigzag), round-trip fidelity bounds, the
+subsampling/restart paths, and the end-to-end Spark feature run over real
+JPEG bytes (the decoder-seam completeness item, VERDICT r03 #2)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from br_doc_ocr_spark.ops import jpegio
+
+
+def _gradient_rgb(h: int, w: int, seed: int = 0) -> np.ndarray:
+    x = np.arange(w)
+    y = np.arange(h)[:, None]
+    return np.stack([
+        ((x + 7 * seed) % 256 + 0 * y).astype(np.uint8) + np.zeros((h, w), np.uint8),
+        ((y * 3 + seed) % 256).astype(np.uint8) + np.zeros((h, w), np.uint8),
+        ((x[None, :] + y * 2 + 13 * seed) % 256).astype(np.uint8),
+    ], axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Spec-level pins (ITU T.81 public values)
+# ---------------------------------------------------------------------------
+
+def test_zigzag_is_a_permutation_with_known_anchors():
+    zz = jpegio.ZIGZAG
+    assert sorted(zz.tolist()) == list(range(64))
+    # T.81 Figure 5 anchors: starts 0,1,8,16,9,2 and ends ...55,62,63
+    assert zz[:6].tolist() == [0, 1, 8, 16, 9, 2]
+    assert zz[-3:].tolist() == [55, 62, 63]
+
+
+def test_quality_50_quant_equals_annex_k_exactly():
+    q = jpegio._scaled_quant(jpegio.QUANT_LUMA, 50)
+    assert (q == jpegio.QUANT_LUMA).all()
+    qc = jpegio._scaled_quant(jpegio.QUANT_CHROMA, 50)
+    assert (qc == jpegio.QUANT_CHROMA).all()
+    # quality 100 floors at all-ones (lossless-est baseline)
+    assert (jpegio._scaled_quant(jpegio.QUANT_LUMA, 100) == 1).all()
+
+
+def test_canonical_huffman_assignment_known_codes():
+    """The DC luminance table's canonical codes are worked out in many
+    public references: category 0 -> '00' (len 2), 1 -> '010', 2 -> '011',
+    3 -> '100', 4 -> '101', 5 -> '110', 6 -> '1110', ... 11 -> all-ones
+    9-bit prefix chain."""
+    codes = jpegio.build_huffman_codes(jpegio.DC_LUMA_BITS,
+                                       jpegio.DC_LUMA_VALS)
+    assert codes[0] == (0b00, 2)
+    assert codes[1] == (0b010, 3)
+    assert codes[5] == (0b110, 3)
+    assert codes[6] == (0b1110, 4)
+    assert codes[11] == (0b111111110, 9)
+    # prefix-free: no code is a prefix of another
+    as_bits = {format(c, f"0{ln}b") for c, ln in codes.values()}
+    for a in as_bits:
+        for b in as_bits:
+            assert a == b or not b.startswith(a)
+
+
+def test_dct_basis_is_orthonormal():
+    eye = jpegio._DCT @ jpegio._DCT.T
+    assert np.allclose(eye, np.eye(8), atol=1e-12)
+
+
+def test_extend_matches_spec_examples():
+    # T.81 F.2.2.1: for magnitude category t, values < 2^(t-1) are negative
+    assert jpegio._extend(0, 0) == 0
+    assert jpegio._extend(0, 1) == -1
+    assert jpegio._extend(1, 1) == 1
+    assert jpegio._extend(0b01, 2) == -2
+    assert jpegio._extend(0b11, 2) == 3
+    assert jpegio._extend(0b0111, 4) == -8
+
+
+# ---------------------------------------------------------------------------
+# Round-trip fidelity
+# ---------------------------------------------------------------------------
+
+def test_flat_image_roundtrips_near_exactly():
+    """A flat color is a DC-only spectrum — quantization touches only the
+    DC coefficient, so the decode must be within rounding of the input."""
+    img = np.full((24, 40, 3), 77, dtype=np.uint8)
+    img[..., 1] = 180
+    img[..., 2] = 33
+    out = jpegio.decode_jpeg(jpegio.encode_jpeg(img, quality=90))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_gradient_roundtrip_within_jpeg_error():
+    img = _gradient_rgb(64, 96, seed=3)
+    out = jpegio.decode_jpeg(jpegio.encode_jpeg(img, quality=90))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert out.shape == img.shape
+    assert float(err.mean()) < 3.0
+    assert int(err.max()) <= 40  # isolated ringing at the wrap seam
+
+
+def test_grayscale_roundtrip():
+    g = ((np.arange(48)[:, None] * 5 + np.arange(80)[None, :] * 2) % 256
+         ).astype(np.uint8)
+    out = jpegio.decode_jpeg(jpegio.encode_jpeg(g, quality=95))
+    assert out.shape == (48, 80, 3)
+    # gray decodes to replicated channels
+    assert (out[..., 0] == out[..., 1]).all() and (out[..., 1] == out[..., 2]).all()
+    assert float(np.abs(out[..., 0].astype(int) - g.astype(int)).mean()) < 3.0
+
+
+def test_420_subsampling_decodes_through_upsampler():
+    img = _gradient_rgb(50, 70, seed=5)   # odd-ish dims: pad + crop paths
+    payload = jpegio.encode_jpeg(img, quality=90, subsampling="4:2:0")
+    out = jpegio.decode_jpeg(payload)
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert float(err.mean()) < 6.0   # chroma decimation costs fidelity
+    # 4:2:0 payload is materially smaller than 4:4:4 on the same input
+    assert len(payload) < len(jpegio.encode_jpeg(img, quality=90))
+
+
+def test_restart_markers_roundtrip_and_appear_in_stream():
+    img = _gradient_rgb(40, 120, seed=7)
+    payload = jpegio.encode_jpeg(img, quality=90, restart_interval=3)
+    # RST0..7 cycle must actually be present in the entropy stream
+    assert any(payload[i] == 0xFF and 0xD0 <= payload[i + 1] <= 0xD7
+               for i in range(2, len(payload) - 2))
+    out = jpegio.decode_jpeg(payload)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert float(err.mean()) < 3.0
+
+
+def test_quality_ladder_orders_sizes_and_errors():
+    img = _gradient_rgb(64, 64, seed=1)
+    sizes, errs = [], []
+    for q in (30, 60, 90):
+        p = jpegio.encode_jpeg(img, quality=q)
+        sizes.append(len(p))
+        errs.append(float(np.abs(
+            jpegio.decode_jpeg(p).astype(int) - img.astype(int)).mean()))
+    assert sizes[0] < sizes[1] < sizes[2]
+    assert errs[0] > errs[2]
+
+
+# ---------------------------------------------------------------------------
+# Unsupported-profile seams
+# ---------------------------------------------------------------------------
+
+def test_progressive_raises_named_error():
+    img = _gradient_rgb(16, 16)
+    payload = bytearray(jpegio.encode_jpeg(img))
+    # rewrite the SOF0 marker (FFC0) to SOF2 (FFC2 = progressive)
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        jpegio.decode_jpeg(bytes(payload))
+
+
+def test_bad_signature_raises():
+    with pytest.raises(ValueError, match="SOI"):
+        jpegio.decode_jpeg(b"\x89PNG\r\n\x1a\n")
+
+
+def test_16bit_quant_table_raises():
+    img = _gradient_rgb(16, 16)
+    payload = bytearray(jpegio.encode_jpeg(img))
+    i = payload.find(b"\xff\xdb")
+    payload[i + 4] |= 0x10   # Pq=1: 16-bit table
+    with pytest.raises(ValueError, match="16-bit"):
+        jpegio.decode_jpeg(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# Decoder seam + end-to-end Spark feature run on real JPEG bytes
+# ---------------------------------------------------------------------------
+
+from br_doc_ocr_spark.ops import multimodal as mm  # noqa: E402
+
+
+def test_jpeg_decoder_validates_metadata():
+    img = _gradient_rgb(8, 6)
+    payload = jpegio.encode_jpeg(img, quality=95)
+    dec = mm.JpegDecoder()
+    out = dec.decode_image(payload, 6, 8)
+    assert out.shape == (8, 6, 3)
+    with pytest.raises(ValueError, match="mislabeled media"):
+        dec.decode_image(payload, 8, 6)  # transposed metadata
+
+
+def test_image_decoder_sniffs_formats():
+    from br_doc_ocr_spark.ops import pngio
+
+    img = _gradient_rgb(8, 6)
+    dec = mm.ImageDecoder()
+    png = dec.decode_image(pngio.encode_png(img), 6, 8)
+    jpg = dec.decode_image(jpegio.encode_jpeg(img, quality=95), 6, 8)
+    assert np.array_equal(png, img)           # PNG is lossless
+    assert np.abs(jpg.astype(int) - img.astype(int)).mean() < 4.0
+    with pytest.raises(ValueError, match="unrecognized image payload"):
+        dec.decode_image(b"GIF89a....", 6, 8)
+
+
+def test_image_features_end_to_end_on_real_jpegs_mixed_with_pngs(spark):
+    """The full Spark mapInPandas image path over a MIXED media table of
+    real JPEG and real PNG bytes through the sniffing ImageDecoder — same
+    output schema as the Fake path, values pinned against a driver-side
+    numpy recomputation of the decode+resize+mean."""
+    jpegs = mm.synth_jpeg_media(spark, n=6)
+    pngs = mm.synth_png_media(spark, n=4)
+    media = jpegs.unionByName(
+        pngs.selectExpr("media_id + 100 AS media_id", "kind", "payload", "meta"))
+    feats = mm.image_features(media, decoder=mm.ImageDecoder())
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert len(got) == 10
+    assert feats.columns == ["media_id", "out_width", "out_height",
+                             "mean_intensity", "band_means", "phash"]
+
+    dec = mm.ImageDecoder()
+    rows = media.select("media_id", "payload", "meta.width", "meta.height"
+                        ).collect()
+    for r in rows:
+        img = dec.decode_image(bytes(r["payload"]), r["width"], r["height"])
+        ow, oh = mm._resize_dims(r["width"], r["height"])
+        yi = (np.arange(oh) * (r["height"] / oh)).astype(int)
+        xi = (np.arange(ow) * (r["width"] / ow)).astype(int)
+        small = img[yi][:, xi]
+        g = got[r["media_id"]]
+        assert (g["out_width"], g["out_height"]) == (ow, oh)
+        assert g["mean_intensity"] == pytest.approx(float(small.mean()))
+
+
+def test_library_decoder_falls_back_to_builtin_codecs_without_pil():
+    img = _gradient_rgb(8, 6)
+    d = mm.LibraryDecoder()
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL installed: the fallback path is not reachable")
+    except ImportError:
+        pass
+    out = d.decode_image(jpegio.encode_jpeg(img, quality=95), 6, 8)
+    assert out.shape == (8, 6, 3)

@@ -74,8 +74,10 @@ def test_video_frame_sampling_is_flatmap(media):
 
 def test_library_decoder_is_clearly_stubbed():
     d = mm.LibraryDecoder()
+    # non-PNG/JPEG payloads still raise the PIL gate without PIL installed;
+    # PNG/JPEG payloads fall back to the dependency-free codecs (test_jpegio)
     with pytest.raises(NotImplementedError, match="PIL"):
-        d.decode_image(b"", 1, 1)
+        d.decode_image(b"GIF89a....", 1, 1)
     with pytest.raises(NotImplementedError, match="torchaudio|soundfile"):
         d.decode_audio(b"", 1)
     with pytest.raises(NotImplementedError, match="PyAV"):
