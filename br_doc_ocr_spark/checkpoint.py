@@ -53,7 +53,9 @@ class Manifest:
     run_id: str = "run-0"
     n_buckets: int = 16
     completed: dict[str, list[int]] = field(default_factory=dict)  # snapshot → buckets
-    table_format: str = "parquet"
+    # None = unpinned (fresh manifest, or one written before pins existed —
+    # a legacy manifest must NOT masquerade as an explicit 'parquet' pin)
+    table_format: str | None = None
     read_snapshot_id: int | None = None
 
     @classmethod
@@ -66,7 +68,7 @@ class Manifest:
                     f"manifest at {path} belongs to run {data['run_id']} with "
                     f"{data['n_buckets']} buckets; refusing to mix partition specs")
             m = cls(path=path, run_id=run_id, n_buckets=n_buckets,
-                    table_format=data.get("table_format", "parquet"),
+                    table_format=data.get("table_format"),
                     read_snapshot_id=data.get("read_snapshot_id"))
             m.completed = {k: list(v) for k, v in data["completed"].items()}
             return m
@@ -91,21 +93,27 @@ class Manifest:
                        "completed": self.completed}, f, indent=2)
         os.replace(tmp, self.path)  # atomic publish — crash-safe
 
-    def resolve_input_pin(self, table_format: str,
+    def resolve_input_pin(self, table_format: str | None,
                           read_snapshot_id: int | None,
                           loaded: bool) -> tuple[str, int | None]:
         """Reconcile the caller's input pin with the manifest's.
 
-        First run (``loaded=False``): record the caller's pin. Resume: the
-        stored pin wins when the caller omits one (``read_snapshot_id=None``);
-        any explicit conflicting pin — including pinning a previously
-        unpinned run — raises instead of silently mixing input snapshots
-        under one manifest (ADVICE r03)."""
-        if not loaded:
-            self.table_format = table_format
-            self.read_snapshot_id = read_snapshot_id
-            return table_format, read_snapshot_id
-        if table_format != self.table_format:
+        First run (``loaded=False``): record the caller's pin (format
+        defaults to parquet). Resume: the stored pin wins when the caller
+        omits one (``table_format=None`` / ``read_snapshot_id=None``); an
+        explicit CONFLICTING pin raises instead of silently mixing input
+        snapshots under one manifest (ADVICE r03). A legacy manifest written
+        before pins existed (stored format None) adopts and records the
+        caller's values rather than hard-failing the resume loop (review
+        r04): it carries no evidence of what the first run read, so the
+        caller's word is the best available — the adoption is persisted on
+        the next snapshot commit."""
+        if not loaded or self.table_format is None:
+            self.table_format = table_format or "parquet"
+            if read_snapshot_id is not None or not loaded:
+                self.read_snapshot_id = read_snapshot_id
+            return self.table_format, self.read_snapshot_id
+        if table_format is not None and table_format != self.table_format:
             raise ValueError(
                 f"manifest at {self.path} was created with table_format="
                 f"{self.table_format!r}; resuming with {table_format!r} "
@@ -134,7 +142,7 @@ def run_resumable(
     run_id: str = "run-0",
     salt: int = 8,
     max_buckets_per_snapshot: int | None = None,
-    table_format: str = "parquet",
+    table_format: str | None = None,
     read_snapshot_id: int | None = None,
 ) -> dict:
     """Process pending buckets, snapshot the manifest, return a summary.

@@ -39,10 +39,11 @@ def _session(args):
 
 def _add_table_format_args(p) -> None:
     """Input-reader selection, shared by every table-reading subcommand."""
-    p.add_argument("--table-format", default="parquet",
+    p.add_argument("--table-format", default=None,
                    choices=("parquet", "iceberg"),
-                   help="input table format; iceberg needs the "
-                        "iceberg-spark-runtime jar on the cluster")
+                   help="input table format (default parquet; a resume "
+                        "defaults to the manifest's recorded pin); iceberg "
+                        "needs the iceberg-spark-runtime jar on the cluster")
     p.add_argument("--snapshot-id", type=int, default=None,
                    help="Iceberg time travel: read this table snapshot")
 

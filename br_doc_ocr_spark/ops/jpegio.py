@@ -166,8 +166,14 @@ class _BitReader:
         self.n = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG: truncated entropy-coded data "
+                             "(payload ends mid-scan)")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("JPEG: truncated entropy-coded data "
+                                 "(payload ends mid-marker)")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -244,16 +250,29 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     restart_interval = 0
     rgb = None
 
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG: expected marker at byte {pos}")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+        # bytes — skip padding until the marker code itself
+        while payload[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 2 > len(payload):
+                raise ValueError("JPEG: truncated payload (fill bytes to EOF)")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue        # standalone markers
+        if pos + 2 > len(payload):
+            raise ValueError("JPEG: truncated payload (marker without a "
+                             "segment header)")
         (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        if seglen < 2 or pos + seglen > len(payload):
+            raise ValueError(
+                f"JPEG: truncated or corrupt segment (marker 0xFF{marker:02X}"
+                f" declares {seglen} bytes at offset {pos})")
         seg = payload[pos + 2:pos + seglen]
         if marker == 0xDB:  # DQT
             p = 0

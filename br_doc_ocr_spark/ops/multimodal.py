@@ -206,10 +206,14 @@ class LibraryDecoder:
         import io
 
         img = Image.open(io.BytesIO(payload))
-        if img.mode == "RGBA":  # composite on white — normalize_image M5
-            from PIL import Image as _I
-
-            bg = _I.new("RGB", img.size, (255, 255, 255))
+        # ANY alpha source (RGBA, LA, PA, palette with tRNS transparency)
+        # composites on white — normalize_image M5, and the same pixels the
+        # dependency-free codecs produce for the same bytes (a plain
+        # convert('RGB') would DROP alpha instead of compositing it)
+        if img.mode in ("RGBA", "LA", "PA") or (
+                img.mode == "P" and "transparency" in img.info):
+            img = img.convert("RGBA")
+            bg = Image.new("RGB", img.size, (255, 255, 255))
             bg.paste(img, mask=img.split()[3])
             img = bg
         elif img.mode != "RGB":
@@ -372,6 +376,20 @@ def sample_video_frames(media: DataFrame, decoder=None,
                             schema=VIDEO_FRAMES_DDL)
 
 
+def _synth_gradient(i: int, width: int, height: int) -> np.ndarray:
+    """The shared seeded RGB gradient recipe behind both real-codec synth
+    corpora — one definition so the PNG and JPEG test images cannot drift."""
+    x = np.arange(width, dtype=np.uint32)
+    y = np.arange(height, dtype=np.uint32)[:, None]
+    return np.stack([
+        ((x + 7 * i) % 256 + 0 * y).astype(np.uint8)
+        + np.zeros((height, width), np.uint8),
+        ((y * 3 + i) % 256).astype(np.uint8)
+        + np.zeros((height, width), np.uint8),
+        ((x[None, :] + y * 2 + i * 13) % 256).astype(np.uint8),
+    ], axis=2)
+
+
 def synth_png_media(spark: SparkSession, n: int = 12) -> DataFrame:
     """Deterministic REAL-PNG media table: seeded RGB gradient images
     encoded to actual PNG bytes (pngio.encode_png), metadata matching the
@@ -385,15 +403,7 @@ def synth_png_media(spark: SparkSession, n: int = 12) -> DataFrame:
     for i in range(n):
         width = 96 + (i % 5) * 288   # 96..1248: crosses MAX_DIMENSION
         height = 64 + (i % 7) * 192
-        x = np.arange(width, dtype=np.uint32)
-        y = np.arange(height, dtype=np.uint32)[:, None]
-        img = np.stack([
-            ((x + 7 * i) % 256 + 0 * y).astype(np.uint8)
-            + np.zeros((height, width), np.uint8),
-            ((y * 3 + i) % 256).astype(np.uint8)
-            + np.zeros((height, width), np.uint8),
-            ((x[None, :] + y * 2 + i * 13) % 256).astype(np.uint8),
-        ], axis=2)
+        img = _synth_gradient(i, width, height)
         rows.append((i, "image", bytearray(pngio.encode_png(img)), {
             "width": width, "height": height, "n_frames": 1,
             "sample_rate": 0, "format": "png"}))
@@ -418,15 +428,7 @@ def synth_jpeg_media(spark: SparkSession, n: int = 8,
     for i in range(n):
         width = 96 + (i % 5) * 48    # 96..288
         height = 64 + (i % 7) * 32   # 64..256
-        x = np.arange(width, dtype=np.uint32)
-        y = np.arange(height, dtype=np.uint32)[:, None]
-        img = np.stack([
-            ((x + 7 * i) % 256 + 0 * y).astype(np.uint8)
-            + np.zeros((height, width), np.uint8),
-            ((y * 3 + i) % 256).astype(np.uint8)
-            + np.zeros((height, width), np.uint8),
-            ((x[None, :] + y * 2 + i * 13) % 256).astype(np.uint8),
-        ], axis=2)
+        img = _synth_gradient(i, width, height)
         sub = "4:2:0" if i % 2 else "4:4:4"
         payload = jpegio.encode_jpeg(img, quality=90, subsampling=sub)
         rows.append((start_id + i, "image", bytearray(payload), {

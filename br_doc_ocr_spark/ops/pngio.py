@@ -92,16 +92,18 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode a real PNG → uint8 RGB array (height, width, 3).
 
-    Alpha (color types 4/6, and tRNS-less palettes) composites onto WHITE —
-    the reference's normalize_image contract. Raises ValueError naming the
-    unsupported feature for anything outside the baseline profile
-    (bit depth != 8, interlaced, malformed chunks)."""
+    Alpha — color types 4/6 AND tRNS transparency (palette entry alphas,
+    or the single transparent color of gray/RGB images) — composites onto
+    WHITE, the reference's normalize_image contract. Raises ValueError
+    naming the unsupported feature for anything outside the baseline
+    profile (bit depth != 8, interlaced, malformed chunks)."""
     if payload[:8] != _SIGNATURE:
         raise ValueError("PNG: bad signature")
     pos = 8
     width = height = None
     bit_depth = color_type = interlace = None
     palette: np.ndarray | None = None
+    trns: bytes | None = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         length, ctype = struct.unpack(">I4s", payload[pos:pos + 8])
@@ -115,6 +117,8 @@ def decode_png(payload: bytes) -> np.ndarray:
              interlace) = struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
             palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -136,16 +140,33 @@ def decode_png(payload: bytes) -> np.ndarray:
     flat = _unfilter(raw, width, height, bpp)
 
     if color_type == 0:            # grayscale
-        g = flat.reshape(height, width, 1)
-        return np.repeat(g, 3, axis=2)
+        g = flat.reshape(height, width)
+        if trns is not None:       # single fully-transparent gray -> white
+            (tg,) = struct.unpack(">H", trns[:2])
+            g = np.where(g == (tg & 0xFF), np.uint8(255), g)
+        return np.repeat(g[:, :, None], 3, axis=2)
     if color_type == 2:            # RGB
-        return flat.reshape(height, width, 3)
+        rgb = flat.reshape(height, width, 3)
+        if trns is not None:       # single fully-transparent color -> white
+            tr, tg_, tb = (v & 0xFF for v in struct.unpack(">HHH", trns[:6]))
+            mask = ((rgb[:, :, 0] == tr) & (rgb[:, :, 1] == tg_)
+                    & (rgb[:, :, 2] == tb))
+            rgb = np.where(mask[:, :, None], np.uint8(255), rgb)
+        return rgb
     if color_type == 3:            # palette
         if palette is None:
             raise ValueError("PNG: palette image without PLTE chunk")
         idx = flat.reshape(height, width)
         if int(idx.max(initial=0)) >= len(palette):
             raise ValueError("PNG: palette index out of range")
+        if trns is not None:       # per-entry alpha: composite on white
+            alpha = np.full(len(palette), 255, dtype=np.uint16)
+            alpha[:len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            pal = palette.astype(np.uint16)
+            pal = ((pal * alpha[:, None]
+                    + 255 * (255 - alpha[:, None]) + 127) // 255
+                   ).astype(np.uint8)
+            return pal[idx]
         return palette[idx]
     # alpha variants: composite on white (reference normalize_image M5)
     px = flat.reshape(height, width, bpp).astype(np.uint16)

@@ -59,10 +59,12 @@ def _extract_ddl(redact: bool) -> str:
 
 
 def read_transcripts(spark: SparkSession, path: str,
-                     table_format: str = "parquet",
+                     table_format: str | None = "parquet",
                      snapshot_id: int | None = None) -> DataFrame:
     """Scan the transcript table, projecting exactly the job's columns so
-    Catalyst prunes the read to them.
+    Catalyst prunes the read to them. ``table_format=None`` means
+    unspecified and reads parquet (callers like the CLI pass their
+    optional flag straight through).
 
     ``table_format='iceberg'`` loads ``path`` as an Iceberg table name (or
     HDFS table dir) through the DataSourceV2 reader — identical projection
@@ -73,6 +75,7 @@ def read_transcripts(spark: SparkSession, path: str,
     so the path raises a clear error here and is exercised on real
     clusters only — everything downstream is format-agnostic.
     """
+    table_format = table_format or "parquet"
     if table_format == "iceberg":
         reader = spark.read.format("iceberg")
         if snapshot_id is not None:
@@ -260,7 +263,7 @@ def run_pipeline(
     schema: dict | None = None,
     drop_confidence: bool = False,
     redact_fields: frozenset[str] | None = None,
-    table_format: str = "parquet",
+    table_format: str | None = "parquet",
     read_snapshot_id: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """End-to-end: read → salted extract → order → (optionally) write.
@@ -507,6 +510,15 @@ def compact_parquet(spark: SparkSession, input_path: str, output_path: str,
     ``("conv_id", "turn_idx")`` for extraction output — passthrough files
     keep their existing order.
 
+    Hive-partitioned layouts (``bucket=3/part-...parquet`` — what
+    :func:`run_resumable` and partitioned sinks produce) are preserved:
+    pass-through copies keep their partition subpath, and the rewrite reads
+    with ``basePath`` + writes with ``partitionBy`` so partition columns
+    survive both as columns and as directory layout; rewritten rows are
+    co-located by partition value (one bin-packed file per value per
+    output task — a single partition value larger than the target is not
+    split further).
+
     Writes to ``output_path`` (caller swaps directories when compacting in
     place — same contract as Iceberg's rewrite-then-commit); compacting
     directly onto the input raises — Spark's overwrite would delete the
@@ -556,24 +568,69 @@ def compact_parquet(spark: SparkSession, input_path: str, output_path: str,
     large = [(p, s) for p, s in listing if s >= threshold]
     small_bytes = sum(s for _, s in small)
 
+    # Hive-partitioned layouts (bucket=3/part-...parquet — exactly what
+    # run_resumable and partitioned sinks produce) need two extra contracts:
+    # pass-through copies must keep their partition SUBPATH (same-named part
+    # files from different partition dirs would otherwise overwrite each
+    # other in the output root), and the rewrite must read with basePath +
+    # write with partitionBy so the partition columns survive as columns
+    # and as directory layout.
+    def _pure(p: str) -> str:
+        # scheme/authority-free path component (listed files come back with
+        # a scheme — file:/... — even when the input path had none)
+        return _hpath(p).toUri().getPath()
+
+    in_root = _pure(_norm(input_path)).rstrip("/") + "/"
+
+    def _rel(p: str) -> str:
+        sp = _pure(p)
+        if not sp.startswith(in_root):
+            raise ValueError(
+                f"compact_parquet: listed file {p} is not under {input_path}")
+        return sp[len(in_root):]
+
+    def _part_keys(rel: str) -> tuple[str, ...]:
+        return tuple(seg.split("=", 1)[0] for seg in rel.split("/")[:-1]
+                     if "=" in seg)
+
+    key_sets = {_part_keys(_rel(p)) for p, _ in listing}
+    if len(key_sets) > 1:
+        raise ValueError(
+            f"compact_parquet: inconsistent partition layouts under "
+            f"{input_path}: {sorted(key_sets)} — compact one consistent "
+            f"table at a time")
+    part_keys = next(iter(key_sets)) if key_sets else ()
+
     out_fs = _hpath(output_path).getFileSystem(conf)
     if small:
         n_files = max(1, math.ceil(small_bytes
                                    / (target_file_mb * 1024 * 1024)))
-        df = spark.read.parquet(*[p for p, _ in small])
-        out = df.repartition(n_files)
+        reader = spark.read
+        if part_keys:
+            reader = reader.option("basePath", input_path)
+        df = reader.parquet(*[p for p, _ in small])
+        if part_keys:
+            # keep whole partition values together so partitionBy writes
+            # ceil-bin-packed files per partition dir instead of n x values
+            out = df.repartition(n_files, *part_keys)
+        else:
+            out = df.repartition(n_files)
         if sort_cols:
             out = out.sortWithinPartitions(*sort_cols)
-        out.write.mode("overwrite").parquet(output_path)
+        writer = out.write.mode("overwrite")
+        if part_keys:
+            writer = writer.partitionBy(*part_keys)
+        writer.parquet(output_path)
     else:
         out_fs.mkdirs(_hpath(output_path))
     # pass well-sized files through untouched: byte-for-byte FileSystem copy,
-    # no scan, no shuffle (source part-file names are uuid-unique, so they
-    # never collide with the freshly written ones)
+    # no scan, no shuffle — preserving each file's partition subpath (source
+    # part-file names are uuid-unique only WITHIN a directory)
     FileUtil = jvm.org.apache.hadoop.fs.FileUtil
     for p, _ in large:
         src = _hpath(p)
-        dst = _hpath(f"{output_path}/{src.getName()}")
+        dst = _hpath(f"{output_path}/{_rel(p)}")
+        out_fs.mkdirs(dst.getParent())
         FileUtil.copy(src.getFileSystem(conf), src, out_fs, dst, False, conf)
     files_after = len(_parquet_files(output_path))
     return {"files_before": len(listing), "files_after": files_after,

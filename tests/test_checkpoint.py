@@ -176,3 +176,50 @@ def test_manifest_pinned_snapshot_defaults_on_resume(tmp_path):
     assert m2.resolve_input_pin("iceberg", 99, loaded=True) == ("iceberg", 99)
     with pytest.raises(ValueError, match="mix rows"):
         m2.resolve_input_pin("iceberg", 100, loaded=True)
+
+
+def test_legacy_manifest_without_pin_adopts_callers_format(tmp_path):
+    """A manifest written before input pins existed carries no table_format
+    key; resuming it must adopt (and persist) the caller's format instead of
+    hard-failing against a phantom 'parquet' pin (review r04)."""
+    import json
+
+    path = str(tmp_path / "legacy.json")
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump({"run_id": "run-0", "n_buckets": 4,
+                   "completed": {"snap-00000": [0, 1]}}, f)
+    m = checkpoint.Manifest.load_or_create(path, "run-0", 4)
+    assert m.table_format is None  # legacy = unpinned, not 'parquet'
+    fmt, snap = m.resolve_input_pin("iceberg", 77, loaded=True)
+    assert (fmt, snap) == ("iceberg", 77)
+    assert m.table_format == "iceberg"  # adopted for the next commit
+    m.record_snapshot("snap-00001", [2])
+    m2 = checkpoint.Manifest.load_or_create(path, "run-0", 4)
+    assert m2.table_format == "iceberg"
+    assert m2.read_snapshot_id == 77
+
+
+def test_resume_with_omitted_format_uses_stored_pin(tmp_path):
+    """The stored pin wins when the caller omits --table-format (None), and
+    still raises on an explicit conflicting one."""
+    path = str(tmp_path / "m.json")
+    m = checkpoint.Manifest.load_or_create(path, "run-0", 4)
+    fmt, snap = m.resolve_input_pin("iceberg", 5, loaded=False)
+    assert (fmt, snap) == ("iceberg", 5)
+    m.record_snapshot("snap-00000", [0])
+
+    m2 = checkpoint.Manifest.load_or_create(path, "run-0", 4)
+    fmt2, snap2 = m2.resolve_input_pin(None, None, loaded=True)
+    assert (fmt2, snap2) == ("iceberg", 5)   # omission = stored pin
+    with pytest.raises(ValueError, match="table_format"):
+        m2.resolve_input_pin("parquet", None, loaded=True)
+    with pytest.raises(ValueError, match="snapshots"):
+        m2.resolve_input_pin("iceberg", 6, loaded=True)
+
+
+def test_first_run_with_omitted_format_defaults_to_parquet(tmp_path):
+    path = str(tmp_path / "m.json")
+    m = checkpoint.Manifest.load_or_create(path, "run-0", 4)
+    fmt, snap = m.resolve_input_pin(None, None, loaded=False)
+    assert (fmt, snap) == ("parquet", None)
+    assert m.table_format == "parquet"

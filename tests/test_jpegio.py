@@ -241,3 +241,23 @@ def test_library_decoder_falls_back_to_builtin_codecs_without_pil():
         pass
     out = d.decode_image(jpegio.encode_jpeg(img, quality=95), 6, 8)
     assert out.shape == (8, 6, 3)
+
+
+def test_truncated_payloads_raise_value_error_not_index_error():
+    img = _gradient_rgb(24, 24)
+    full = jpegio.encode_jpeg(img, quality=90)
+    # cut mid-scan (after the SOS header) and mid-header
+    sos = full.find(b"\xff\xda")
+    for cut in (sos + 20, sos + 2, len(full) // 2, 30):
+        with pytest.raises(ValueError, match="JPEG"):
+            jpegio.decode_jpeg(full[:cut])
+
+
+def test_fill_bytes_before_markers_are_legal():
+    """T.81 B.1.1.2: markers may be padded with extra 0xFF bytes."""
+    img = _gradient_rgb(16, 16)
+    full = jpegio.encode_jpeg(img, quality=90)
+    i = full.find(b"\xff\xdb")           # pad before the first DQT
+    padded = full[:i] + b"\xff\xff\xff" + full[i:]
+    out = jpegio.decode_jpeg(padded)
+    assert np.array_equal(out, jpegio.decode_jpeg(full))

@@ -336,6 +336,45 @@ def test_compact_parquet_is_selective(spark, tmp_path):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
+    """Partitioned layout (review r04 finding): same-named part files from
+    different partition dirs must not collide in the output, partition
+    columns must survive the rewrite, and the output must stay readable as
+    the same partitioned table."""
+    import os
+
+    src = str(tmp_path / "parted")
+    spark.range(2000).selectExpr(
+        "id", "cast(id % 3 AS int) AS bucket",
+        "sha2(cast(id as string), 256) AS c"
+    ).write.partitionBy("bucket").parquet(src)
+
+    # all slivers: everything is rewritten; partition columns must survive
+    out1 = str(tmp_path / "parted_rewrite")
+    stats = pipeline.compact_parquet(spark, src, out1, target_file_mb=1)
+    got = spark.read.parquet(out1)
+    assert got.count() == 2000
+    assert set(got.columns) == {"id", "bucket", "c"}
+    assert sorted(r["bucket"] for r in got.select("bucket").distinct().collect()) \
+        == [0, 1, 2]
+    # layout preserved: output files live under bucket=N dirs
+    dirs = {os.path.basename(r) for r, _d, fs in os.walk(out1)
+            if any(f.endswith(".parquet") for f in fs)}
+    assert dirs == {"bucket=0", "bucket=1", "bucket=2"}
+    assert stats["rows"] == 2000
+
+    # all pass-through (ratio 0): copies keep their partition subpath, so
+    # identical basenames across partition dirs cannot clobber each other
+    out2 = str(tmp_path / "parted_copy")
+    stats2 = pipeline.compact_parquet(spark, src, out2, target_file_mb=1,
+                                      small_file_ratio=0.0)
+    assert stats2["rewritten_files"] == 0
+    assert spark.read.parquet(out2).count() == 2000
+    a = spark.read.parquet(src).toPandas().sort_values("id").reset_index(drop=True)
+    b = spark.read.parquet(out2).toPandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
 def test_compact_parquet_refuses_in_place(spark, tmp_path):
     """output == input would make Spark's overwrite delete the source
     mid-scan — must raise, including on trailing-slash spellings."""

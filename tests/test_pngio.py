@@ -155,3 +155,45 @@ def test_image_features_end_to_end_on_real_pngs(spark):
         assert g["mean_intensity"] == pytest.approx(float(small.mean()))
         assert max(r["width"], r["height"]) <= mm.MAX_DIMENSION or \
             max(ow, oh) == mm.MAX_DIMENSION  # downscale actually applied
+
+
+def test_trns_transparency_composites_on_white():
+    """tRNS (palette entry alphas / the single transparent color of
+    gray/RGB images) must composite on white like the alpha color types —
+    review r04: it was silently ignored."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        import struct as st
+        body = ctype + data
+        return (st.pack(">I", len(data)) + body
+                + st.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    def png(color_type, bpp, w, h, raw_rows, extra_chunks=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        idat = zlib.compress(b"".join(b"\x00" + r for r in raw_rows))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + extra_chunks
+                + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+    # palette: entry 0 fully transparent red -> white; entry 1 half-green
+    plte = chunk(b"PLTE", bytes([255, 0, 0, 0, 200, 0]))
+    trns = chunk(b"tRNS", bytes([0, 128]))
+    payload = png(3, 1, 2, 1, [bytes([0, 1])], plte + trns)
+    out = pngio.decode_png(payload)
+    assert out[0, 0].tolist() == [255, 255, 255]
+    # 0.5*200 + 0.5*255 composited green
+    assert out[0, 1].tolist() == [127, (200 * 128 + 255 * 127 + 127) // 255, 127]
+
+    # grayscale: transparent value 7 -> white, others untouched
+    payload = png(0, 1, 3, 1, [bytes([7, 9, 7])],
+                  chunk(b"tRNS", struct.pack(">H", 7)))
+    out = pngio.decode_png(payload)
+    assert out[0].tolist() == [[255] * 3, [9] * 3, [255] * 3]
+
+    # RGB: the transparent triple -> white
+    payload = png(2, 3, 2, 1, [bytes([10, 20, 30, 10, 20, 31])],
+                  chunk(b"tRNS", struct.pack(">HHH", 10, 20, 30)))
+    out = pngio.decode_png(payload)
+    assert out[0, 0].tolist() == [255, 255, 255]
+    assert out[0, 1].tolist() == [10, 20, 31]
