@@ -277,6 +277,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker == 0xDB:  # DQT
             p = 0
             while p < len(seg):
+                if p + 65 > len(seg):
+                    raise ValueError("JPEG: truncated DQT segment")
                 pq, tq = seg[p] >> 4, seg[p] & 0x0F
                 if pq != 0:
                     raise ValueError("JPEG: 16-bit quant tables unsupported")
@@ -289,17 +291,29 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
+                if p + 17 > len(seg):
+                    raise ValueError("JPEG: truncated DHT segment")
                 tc, th = seg[p] >> 4, seg[p] & 0x0F
                 bits = list(seg[p + 1:p + 17])
                 n = sum(bits)
+                if p + 17 + n > len(seg):
+                    raise ValueError(
+                        "JPEG: DHT declares more codes than the segment holds")
                 vals = list(seg[p + 17:p + 17 + n])
                 (ac_tables if tc else dc_tables)[th] = _decode_table(bits, vals)
                 p += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if len(seg) < 6 or len(seg) < 6 + 3 * seg[5]:
+                raise ValueError("JPEG: truncated SOF segment")
             precision = seg[0]
             if precision != 8:
                 raise ValueError(f"JPEG: {precision}-bit precision unsupported")
             h, w = struct.unpack(">HH", seg[1:5])
+            if h == 0 or w == 0 or h * w > 100_000_000:
+                # corrupt headers must fail cleanly, not allocate planes for
+                # a fuzzed 65535x65535 frame
+                raise ValueError(
+                    f"JPEG: implausible frame dimensions {w}x{h}")
             ncomp = seg[5]
             if ncomp not in (1, 3):
                 raise ValueError(f"JPEG: {ncomp}-component images unsupported")
@@ -307,7 +321,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ncomp):
                 cid = seg[6 + 3 * i]
                 hv = seg[7 + 3 * i]
-                comps.append((cid, hv >> 4, hv & 0x0F, seg[8 + 3 * i]))
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(
+                        f"JPEG: invalid sampling factors {hi}x{vi} for "
+                        f"component {cid}")
+                comps.append((cid, hi, vi, seg[8 + 3 * i]))
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -315,16 +334,31 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError(
                 f"JPEG: {kind} coding unsupported (baseline SOF0/1 only)")
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("JPEG: truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG: SOS before SOF")
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
+                raise ValueError("JPEG: truncated SOS header")
             ns = seg[0]
             scan_sel = {}
             for i in range(ns):
                 cs = seg[1 + 2 * i]
                 t = seg[2 + 2 * i]
                 scan_sel[cs] = (t >> 4, t & 0x0F)
+            # corrupt streams must fail with JPEG context, not KeyError
+            for cid, _hi, _vi, tq in frame[2]:
+                if cid not in scan_sel:
+                    raise ValueError(
+                        f"JPEG: scan is missing component {cid}")
+                dt, at = scan_sel[cid]
+                if dt not in dc_tables or at not in ac_tables or \
+                        tq not in qtables:
+                    raise ValueError(
+                        f"JPEG: component {cid} references undefined "
+                        f"Huffman/quant tables (dc={dt}, ac={at}, q={tq})")
             scan_pos = pos + seglen
             rgb, pos = _decode_scan(payload, scan_pos, frame, scan_sel,
                                     qtables, dc_tables, ac_tables,
@@ -366,16 +400,23 @@ def _decode_scan(data, pos, frame, scan_sel, qtables, dc_tables, ac_tables,
                     reader.align_past_restart()
                 expected_rst = (expected_rst + 1) % 8
                 pred = {cid: 0 for cid in pred}
-            for cid, hi, vi, tq in comps:
-                dc_t = dc_tables[scan_sel[cid][0]]
-                ac_t = ac_tables[scan_sel[cid][1]]
-                q = qtables[tq]
-                for by in range(vi):
-                    for bx in range(hi):
-                        block = _decode_block(reader, dc_t, ac_t, pred, cid, q)
-                        y0 = (my * vi + by) * 8
-                        x0 = (mx * hi + bx) * 8
-                        planes[cid][y0:y0 + 8, x0:x0 + 8] = block
+            try:
+                for cid, hi, vi, tq in comps:
+                    dc_t = dc_tables[scan_sel[cid][0]]
+                    ac_t = ac_tables[scan_sel[cid][1]]
+                    q = qtables[tq]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            block = _decode_block(reader, dc_t, ac_t,
+                                                  pred, cid, q)
+                            y0 = (my * vi + by) * 8
+                            x0 = (mx * hi + bx) * 8
+                            planes[cid][y0:y0 + 8, x0:x0 + 8] = block
+            except _RestartMarker:
+                # an RST outside a restart-interval boundary = corrupt stream
+                # (restart markers are only legal at DRI intervals)
+                raise ValueError(
+                    "JPEG: unexpected restart marker inside an MCU")
             mcu_count += 1
     # scan ends: skip pad bits, leave pos at the next marker
     end = reader.pos

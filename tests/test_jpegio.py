@@ -261,3 +261,53 @@ def test_fill_bytes_before_markers_are_legal():
     padded = full[:i] + b"\xff\xff\xff" + full[i:]
     out = jpegio.decode_jpeg(padded)
     assert np.array_equal(out, jpegio.decode_jpeg(full))
+
+
+# ---------------------------------------------------------------------------
+# Property-based: round-trip totality and fuzzed-payload robustness
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    quality=st.integers(min_value=70, max_value=95),
+    sub=st.sampled_from(["4:4:4", "4:2:0"]),
+    rst=st.sampled_from([0, 2, 5]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_roundtrip_total_over_random_images(h, w, quality, sub, rst, seed):
+    """encode→decode never crashes and stays shape-exact + error-bounded
+    for ANY dimensions (odd, 1-pixel, non-MCU-aligned), subsampling,
+    restart interval and random pixel content (noise is JPEG's worst
+    case, so the error bound is loose — the property is totality)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = jpegio.decode_jpeg(
+        jpegio.encode_jpeg(img, quality=quality, subsampling=sub,
+                           restart_interval=rst))
+    assert out.shape == img.shape
+    assert float(np.abs(out.astype(int) - img.astype(int)).mean()) < 48.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    pos=st.integers(min_value=2, max_value=10_000),
+    val=st.integers(min_value=0, max_value=255),
+)
+def test_fuzzed_payloads_raise_value_error_or_decode(pos, val):
+    """Single-byte corruption anywhere in a valid JPEG either still decodes
+    or raises ValueError with JPEG context — never IndexError/struct.error/
+    KeyError/ZeroDivisionError (the module's error contract), and never a
+    runaway allocation (implausible-dimension guard)."""
+    img = _gradient_rgb(24, 32, seed=9)
+    payload = bytearray(jpegio.encode_jpeg(img, quality=85))
+    payload[pos % len(payload)] = val
+    try:
+        out = jpegio.decode_jpeg(bytes(payload))
+        assert out.ndim == 3 and out.shape[2] == 3
+    except ValueError:
+        pass
