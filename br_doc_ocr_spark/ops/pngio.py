@@ -113,9 +113,13 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError("PNG: truncated chunk")
         pos += length + 4  # skip CRC (integrity is the transport's job here)
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("PNG: malformed IHDR chunk")
             (width, height, bit_depth, color_type, _comp, _filt,
              interlace) = struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
+            if not data or len(data) % 3:
+                raise ValueError("PNG: malformed PLTE length")
             palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"tRNS":
             trns = data
@@ -132,7 +136,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color_type not in _CHANNELS:
         raise ValueError(f"PNG: unsupported color type {color_type}")
     bpp = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG: corrupt IDAT zlib stream ({e})") from e
     expected = height * (width * bpp + 1)
     if len(raw) != expected:
         raise ValueError(

@@ -197,3 +197,23 @@ def test_trns_transparency_composites_on_white():
     out = pngio.decode_png(payload)
     assert out[0, 0].tolist() == [255, 255, 255]
     assert out[0, 1].tolist() == [10, 20, 31]
+
+
+def test_fuzzed_payloads_raise_value_error_or_decode():
+    """Single/multi-byte corruption of a valid PNG either decodes or raises
+    ValueError — never zlib.error/struct.error/IndexError (the module's
+    error contract; fuzz-derived guards, review r04 follow-up)."""
+    import random
+
+    img = _rng_img(24, 32)
+    payload = bytearray(pngio.encode_png(img))
+    random.seed(7)
+    for _trial in range(300):
+        p = bytearray(payload)
+        for _ in range(random.choice([1, 2, 5])):
+            p[random.randrange(8, len(p))] = random.randrange(256)
+        try:
+            out = pngio.decode_png(bytes(p))
+            assert out.ndim == 3 and out.shape[2] == 3
+        except ValueError:
+            pass
