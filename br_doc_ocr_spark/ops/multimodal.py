@@ -151,6 +151,17 @@ class JpegDecoder:
             "decoder")
 
 
+def _sniff_image_format(payload: bytes) -> str | None:
+    """'png' / 'jpeg' / None by magic bytes — the ONE place the
+    dependency-free formats are enumerated (ImageDecoder routing and
+    LibraryDecoder's no-PIL fallback both consult it)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    return None
+
+
 class ImageDecoder:
     """Format-sniffing REAL image decoder: routes each payload by its magic
     bytes — PNG signature → :class:`PngDecoder`, JPEG SOI (FF D8) →
@@ -163,9 +174,10 @@ class ImageDecoder:
         self._jpeg = JpegDecoder()
 
     def decode_image(self, payload: bytes, width: int, height: int) -> np.ndarray:
-        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        fmt = _sniff_image_format(payload)
+        if fmt == "png":
             return self._png.decode_image(payload, width, height)
-        if payload[:2] == b"\xff\xd8":
+        if fmt == "jpeg":
             return self._jpeg.decode_image(payload, width, height)
         raise ValueError(
             f"unrecognized image payload (leading bytes "
@@ -192,12 +204,16 @@ class LibraryDecoder:
     and only genuinely other formats get the clear error. Audio/video
     remain documented stubs (torchaudio / PyAV)."""
 
+    _builtin = None  # lazy shared ImageDecoder for the no-PIL fallback
+
     def decode_image(self, payload: bytes, width: int, height: int):
         try:
             from PIL import Image  # noqa: PLC0415
         except ImportError as e:
-            if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"\xff\xd8":
-                return ImageDecoder().decode_image(payload, width, height)
+            if _sniff_image_format(payload) is not None:
+                if self._builtin is None:
+                    self._builtin = ImageDecoder()
+                return self._builtin.decode_image(payload, width, height)
             raise NotImplementedError(
                 "general image decode requires PIL (Image.open over the "
                 "payload bytes) — not installed in this environment; PNG "
@@ -252,9 +268,17 @@ def _resize_dims(width: int, height: int, max_dim: int = MAX_DIMENSION
     return max(int(width * scale), 1), max(int(height * scale), 1)
 
 
-def image_feature_kernel(decoder=None):
-    """decode → resize → per-band means → perceptual hash, per Arrow batch."""
+def image_feature_kernel(decoder=None, on_error: str = "raise"):
+    """decode → resize → per-band means → perceptual hash, per Arrow batch.
+
+    ``on_error='skip'`` quarantines corrupt payloads at ROW granularity:
+    a decode ValueError drops that row instead of failing the whole task
+    (at cluster scale one bad blob must not kill a 128 MB scan partition
+    after retry exhaustion — SCALE.md "Multimodal decode"). The default
+    stays ``'raise'``: small curated corpora should fail loudly."""
     decoder = decoder or FakeDecoder()
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -262,7 +286,12 @@ def image_feature_kernel(decoder=None):
             for media_id, payload, meta in zip(batch["media_id"],
                                                batch["payload"], batch["meta"]):
                 w, h = int(meta["width"]), int(meta["height"])
-                img = decoder.decode_image(bytes(payload), w, h)
+                try:
+                    img = decoder.decode_image(bytes(payload), w, h)
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
                 ow, oh = _resize_dims(w, h)
                 # nearest-neighbor resize via index striding (vectorized)
                 yi = (np.arange(oh) * (h / oh)).astype(int)
@@ -357,9 +386,10 @@ def video_frame_sample_kernel(decoder=None, every_nth: int = 10):
 # DataFrame-level API
 # ---------------------------------------------------------------------------
 
-def image_features(media: DataFrame, decoder=None) -> DataFrame:
+def image_features(media: DataFrame, decoder=None,
+                   on_error: str = "raise") -> DataFrame:
     imgs = media.filter(media.kind == "image")
-    return imgs.mapInPandas(image_feature_kernel(decoder),
+    return imgs.mapInPandas(image_feature_kernel(decoder, on_error),
                             schema=IMAGE_FEATURES_DDL)
 
 

@@ -136,11 +136,20 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color_type not in _CHANNELS:
         raise ValueError(f"PNG: unsupported color type {color_type}")
     bpp = _CHANNELS[color_type]
+    if width == 0 or height == 0 or width * height > 100_000_000:
+        # corrupt headers must fail cleanly, not allocate planes for a
+        # fuzzed 4-billion-pixel frame (same guard as decode_jpeg)
+        raise ValueError(f"PNG: implausible dimensions {width}x{height}")
+    expected = height * (width * bpp + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bounded inflate: a zlib bomb must not allocate past the declared
+        # image size no matter what the stream expands to
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error as e:
         raise ValueError(f"PNG: corrupt IDAT zlib stream ({e})") from e
-    expected = height * (width * bpp + 1)
+    # max_length = expected+1: a stream holding MORE than expected emits the
+    # sentinel extra byte and fails this check without ever inflating further
     if len(raw) != expected:
         raise ValueError(
             f"PNG: decompressed size {len(raw)} != expected {expected}")
@@ -149,12 +158,16 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color_type == 0:            # grayscale
         g = flat.reshape(height, width)
         if trns is not None:       # single fully-transparent gray -> white
+            if len(trns) < 2:
+                raise ValueError("PNG: malformed tRNS chunk for grayscale")
             (tg,) = struct.unpack(">H", trns[:2])
             g = np.where(g == (tg & 0xFF), np.uint8(255), g)
         return np.repeat(g[:, :, None], 3, axis=2)
     if color_type == 2:            # RGB
         rgb = flat.reshape(height, width, 3)
         if trns is not None:       # single fully-transparent color -> white
+            if len(trns) < 6:
+                raise ValueError("PNG: malformed tRNS chunk for RGB")
             tr, tg_, tb = (v & 0xFF for v in struct.unpack(">HHH", trns[:6]))
             mask = ((rgb[:, :, 0] == tr) & (rgb[:, :, 1] == tg_)
                     & (rgb[:, :, 2] == tb))
@@ -167,6 +180,9 @@ def decode_png(payload: bytes) -> np.ndarray:
         if int(idx.max(initial=0)) >= len(palette):
             raise ValueError("PNG: palette index out of range")
         if trns is not None:       # per-entry alpha: composite on white
+            if len(trns) > len(palette):
+                raise ValueError(
+                    "PNG: tRNS has more entries than the palette")
             alpha = np.full(len(palette), 255, dtype=np.uint16)
             alpha[:len(trns)] = np.frombuffer(trns, dtype=np.uint8)
             pal = palette.astype(np.uint16)

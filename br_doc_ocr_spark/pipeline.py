@@ -532,23 +532,28 @@ def compact_parquet(spark: SparkSession, input_path: str, output_path: str,
     for a remote table and collapse it to one output file.
     """
     import math
-    import os as _os
-
-    def _norm(p: str) -> str:
-        return (p.rstrip("/") if "://" in p
-                else _os.path.abspath(p).rstrip("/"))
-
-    if _norm(input_path) == _norm(output_path):
-        raise ValueError(
-            "compact_parquet: output_path equals input_path — the overwrite "
-            "would delete the source mid-scan; write to a sibling directory "
-            "and swap (rewrite-then-commit)")
 
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
 
     def _hpath(p: str):
         return jvm.org.apache.hadoop.fs.Path(p)
+
+    def _qualified(p: str):
+        """Fully-qualified Hadoop path: resolves scheme variants
+        (``file:/x`` vs ``/x``) and relative paths against the SAME
+        FileSystem the listing uses — Python ``abspath`` would mangle
+        ``file:/...`` spellings and resolve relative paths against the
+        Python cwd instead of the JVM's (review r04)."""
+        hp = _hpath(p)
+        return hp.getFileSystem(conf).makeQualified(hp)
+
+    in_q = _qualified(input_path)
+    if str(in_q) == str(_qualified(output_path)):
+        raise ValueError(
+            "compact_parquet: output_path equals input_path — the overwrite "
+            "would delete the source mid-scan; write to a sibling directory "
+            "and swap (rewrite-then-commit)")
 
     def _parquet_files(path: str) -> list[tuple[str, int]]:
         hpath = _hpath(path)
@@ -575,15 +580,12 @@ def compact_parquet(spark: SparkSession, input_path: str, output_path: str,
     # other in the output root), and the rewrite must read with basePath +
     # write with partitionBy so the partition columns survive as columns
     # and as directory layout.
-    def _pure(p: str) -> str:
-        # scheme/authority-free path component (listed files come back with
-        # a scheme — file:/... — even when the input path had none)
-        return _hpath(p).toUri().getPath()
-
-    in_root = _pure(_norm(input_path)).rstrip("/") + "/"
+    in_root = in_q.toUri().getPath().rstrip("/") + "/"
 
     def _rel(p: str) -> str:
-        sp = _pure(p)
+        # scheme/authority-free path component (listed files come back with
+        # a scheme — file:/... — even when the input path had none)
+        sp = _hpath(p).toUri().getPath()
         if not sp.startswith(in_root):
             raise ValueError(
                 f"compact_parquet: listed file {p} is not under {input_path}")

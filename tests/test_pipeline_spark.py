@@ -466,3 +466,17 @@ def test_extraction_cache_registry(spark, tiny_transcripts_path):
     assert ref() is None
     assert len(list(pipeline._EXTRACTION_CACHES.keys())) == 0
     cache3.unpersist()
+
+
+def test_compact_parquet_accepts_hadoop_uri_spellings(spark, tmp_path):
+    """file:/x (Hadoop's own toString spelling), file:///x and plain /x must
+    all compact and all trip the in-place guard against each other."""
+    src = str(tmp_path / "u")
+    spark.range(100).write.parquet(src)
+    out = str(tmp_path / "u_out")
+    stats = pipeline.compact_parquet(spark, f"file:{src}", out,
+                                     target_file_mb=1)
+    assert stats["rows"] == 100
+    for spelling in (src, f"file:{src}", f"file://{src}"):
+        with pytest.raises(ValueError, match="output_path equals input_path"):
+            pipeline.compact_parquet(spark, src, spelling)

@@ -217,3 +217,56 @@ def test_fuzzed_payloads_raise_value_error_or_decode():
             assert out.ndim == 3 and out.shape[2] == 3
         except ValueError:
             pass
+
+
+def test_malformed_trns_raises_named_errors():
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    def png(color_type, w, h, raw_rows, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        idat = zlib.compress(b"".join(b"\x00" + r for r in raw_rows))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + extra
+                + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+    with pytest.raises(ValueError, match="tRNS"):  # 1-byte gray tRNS
+        pngio.decode_png(png(0, 2, 1, [bytes([1, 2])],
+                             chunk(b"tRNS", b"\x01")))
+    with pytest.raises(ValueError, match="tRNS"):  # short RGB tRNS
+        pngio.decode_png(png(2, 1, 1, [bytes([1, 2, 3])],
+                             chunk(b"tRNS", b"\x00\x01\x00\x02")))
+    plte = chunk(b"PLTE", bytes([255, 0, 0]))
+    with pytest.raises(ValueError, match="more entries than the palette"):
+        pngio.decode_png(png(3, 1, 1, [bytes([0])],
+                             plte + chunk(b"tRNS", b"\x00\x01")))
+
+
+def test_zlib_bomb_fails_before_allocating():
+    """A stream expanding far past the declared image size must fail at the
+    bounded-inflate check, never materialize the bomb."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    # declares 2x1 gray (expected 2*1+1 = 3 bytes) but inflates to 10 MB
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * 10_000_000)
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="decompressed size"):
+        pngio.decode_png(payload)
+    # implausible dimensions fail before any inflate at all
+    ihdr_huge = struct.pack(">IIBBBBB", 65535, 65535, 8, 0, 0, 0, 0)
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_huge)
+               + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="implausible"):
+        pngio.decode_png(payload)
