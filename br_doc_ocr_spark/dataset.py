@@ -127,6 +127,11 @@ def split_dataset(df: DataFrame, train_ratio: float = 0.8,
     neither). Cutoffs quantize at 10^-6 granularity, so sub-percent ratios
     (train_ratio=0.004) produce a real split instead of silently rounding
     to empty."""
+    if train_ratio < 0 or val_ratio < 0 or train_ratio + val_ratio > 1:
+        raise ValueError(
+            f"split ratios must be non-negative with train+val <= 1; got "
+            f"train={train_ratio}, val={val_ratio} (test would be "
+            f"{1 - train_ratio - val_ratio:.6f})")
     mod = 1_000_000
     r = sf.pmod(sf.xxhash64(sf.col(key_col)), sf.lit(mod))
     # round, not truncate: int() alone misquantizes ~0.17% of exact
@@ -171,21 +176,31 @@ def write_training_dataset(results: DataFrame, output_dir: str,
                            key_col: str = "conv_id") -> dict[str, int]:
     """End-to-end export job: transform → optional type filter → split →
     one JSONL directory per split. Returns per-split row counts."""
+    from pyspark import StorageLevel
+
     samples = to_training_samples(results)
     if types:
         samples = filter_by_document_type(samples, types)
-    out = {}
-    for name, part in split_dataset(samples, train_ratio, val_ratio,
-                                    key_col).items():
-        path = f"{output_dir}/{name}"
-        (part.select(key_col, "document_type", "expected_output",
-                     sf.to_json(sf.col("messages")).alias("messages_json"))
-         .write.mode("overwrite").json(path))
-        # explicit one-column schema: schema inference would re-read the
-        # whole split once just to discover columns we already know
-        out[name] = (part.sparkSession.read
-                     .schema("document_type string").json(path).count())
-    return out
+    # persist ONCE: the three splits are filters over this same frame, and
+    # without it each split write recomputes the whole transform (plus any
+    # upstream extraction) from scratch — three full passes instead of one
+    # at the module's billions-of-rows scale (review r04)
+    samples = samples.persist(StorageLevel.DISK_ONLY)
+    try:
+        out = {}
+        for name, part in split_dataset(samples, train_ratio, val_ratio,
+                                        key_col).items():
+            path = f"{output_dir}/{name}"
+            (part.select(key_col, "document_type", "expected_output",
+                         sf.to_json(sf.col("messages")).alias("messages_json"))
+             .write.mode("overwrite").json(path))
+            # explicit one-column schema: schema inference would re-read the
+            # whole split once just to discover columns we already know
+            out[name] = (part.sparkSession.read
+                         .schema("document_type string").json(path).count())
+        return out
+    finally:
+        samples.unpersist()
 
 
 class MetricsCollector:

@@ -121,14 +121,20 @@ def field_accuracy(paired: DataFrame) -> DataFrame:
             .orderBy(sf.desc("accuracy"), sf.asc("field")))
 
 
-def evaluate(pred: DataFrame, golden: DataFrame) -> dict[str, DataFrame]:
+def evaluate(pred: DataFrame, golden: DataFrame,
+             broadcast_golden: bool = True) -> dict[str, DataFrame]:
     """Full evaluation report — the Spark rendering of ``cli evaluate``
     (cli/evaluate.py:19-184): overall, per-kind, per-field, plus a coverage
     frame. The pairing join is INNER (matching the reference, whose samples
     always carry both sides), so ``coverage`` surfaces what the join would
     otherwise hide: golden rows with NO prediction — an engine that lost 90%
-    of its output must not score 100% unnoticed."""
-    paired = pair_predictions(pred, golden)
+    of its output must not score 100% unnoticed.
+
+    ``broadcast_golden=False`` for golden sets too large to broadcast
+    (the explicit hint bypasses autoBroadcastJoinThreshold entirely, so a
+    10^7-row golden would otherwise be collected to every executor);
+    the pairing then shuffles both sides on the turn key."""
+    paired = pair_predictions(pred, golden, broadcast_golden)
     metrics = with_field_metrics(paired)
     unmatched = golden.join(pred, on=JOIN_KEYS, how="left_anti")
     coverage = unmatched.agg(

@@ -27,12 +27,30 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def _finite(query_vec: list[float]) -> list[float]:
+    """Reject NaN/Inf query components up front: they would otherwise render
+    as unparseable SQL literals ('nanD') and surface as a baffling
+    UNRESOLVED_COLUMN analysis error far from the real cause."""
+    import math
+
+    bad = [v for v in query_vec if not math.isfinite(float(v))]
+    if bad:
+        raise ValueError(
+            f"query vector contains non-finite components {bad[:3]} — "
+            "embeddings must be finite")
+    return query_vec
+
+
 def norm(a: Column) -> Column:
     return sf.sqrt(sf.aggregate(a, sf.lit(0.0), lambda acc, x: acc + x * x))
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # zero-norm guard: a legitimate all-zero embedding scores 0 everywhere
+    # instead of dividing by zero (which THROWS under Spark 4's default
+    # ANSI mode, killing the whole query for one degenerate row)
+    d = norm(a) * norm(b)
+    return sf.when(d == 0, sf.lit(0.0)).otherwise(dot(a, b) / d)
 
 
 def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
@@ -42,7 +60,7 @@ def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     # one parsed literal array, not len(dim) py4j lit() round trips; repr()
     # keeps full double precision (repr(float) round-trips exactly)
     q = sf.expr(
-        f"array({', '.join(f'{float(v)!r}D' for v in query_vec)})")
+        f"array({', '.join(f'{float(v)!r}D' for v in _finite(query_vec))})")
     scored = embeddings.select(
         sf.col(id_col),
         sf.round(cosine(sf.col(vec_col).cast("array<double>"), q), 6).alias("cosine"),
@@ -84,8 +102,16 @@ def ivf_bucket(vec: Column, n_bits: int = 8) -> Column:
     """Deterministic coarse quantizer: the sign pattern of the first
     ``n_bits`` dimensions → an integer bucket id (2^n_bits cells). At write
     time the corpus is partitioned by this column; a probe reads one cell."""
+    # a vector shorter than n_bits would make element_at throw (ANSI) or
+    # yield NULL buckets that silently filter every row out — fail loudly
+    checked = sf.when(
+        sf.size(vec) < n_bits,
+        sf.raise_error(sf.concat(
+            sf.lit(f"ivf_bucket: embedding has fewer than n_bits={n_bits} "
+                   "dimensions ("), sf.size(vec).cast("string"), sf.lit(")")))
+    ).otherwise(vec)
     bits = [
-        (sf.element_at(vec, i + 1) > 0).cast("int") * sf.lit(2 ** i)
+        (sf.element_at(checked, i + 1) > 0).cast("int") * sf.lit(2 ** i)
         for i in range(n_bits)
     ]
     total = bits[0]
@@ -100,6 +126,10 @@ def probe_buckets(query_vec: list[float], n_bits: int = 8,
     within Hamming distance ``probe_hamming`` (the standard multi-probe
     recall dial — a true neighbor flips each sign bit with probability
     arccos(sim)/π, so near cells hold most of the missed mass)."""
+    if len(query_vec) < n_bits:
+        raise ValueError(
+            f"probe_buckets: query vector has {len(query_vec)} dimensions, "
+            f"fewer than n_bits={n_bits}")
     q_bucket = sum((1 << i) for i, v in enumerate(query_vec[:n_bits]) if v > 0)
     buckets = {q_bucket}
     frontier = {q_bucket}
@@ -243,6 +273,7 @@ def _quantize_query(query_vec: list[float]) -> list[int]:
     clamp) so query codes match what the column expression would produce."""
     import math
 
+    _finite(query_vec)
     q_scale = max(abs(x) for x in query_vec) / 127.0
     if q_scale == 0.0:
         return [0] * len(query_vec)
@@ -260,6 +291,11 @@ def _int8_score(q_codes: list[int]) -> tuple[Column, Column]:
     import math
 
     ss_q = float(sum(c * c for c in q_codes))
+    if ss_q == 0.0:
+        # a zero-norm QUERY scores 0 against everything — without this the
+        # sqrt(ss_q)=0 divisor throws under ANSI for every non-zero corpus
+        # row (the corpus-side zero was already guarded below)
+        return sf.lit(0).cast("long"), sf.lit(0.0)
     qc = f"array({', '.join(str(c) for c in q_codes)})"
     # widen BEFORE multiplying: the int8 index stores array<tinyint>, and
     # same-type tinyint*tinyint stays tinyint — 127² overflows it under ANSI

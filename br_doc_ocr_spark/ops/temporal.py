@@ -94,9 +94,12 @@ def range_join(points: DataFrame, intervals: DataFrame,
     i_buckets = sf.sequence(
         sf.floor(sf.unix_timestamp(sf.col(start_col)) / sf.lit(bucket_seconds)),
         sf.floor(sf.unix_timestamp(sf.col(end_col)) / sf.lit(bucket_seconds)))
-    pts = points.withColumn("_bucket", p_bucket)
-    ivs = intervals.withColumn("_bucket", sf.explode(i_buckets))
+    # qualified residual filter: an intervals frame that happens to carry a
+    # column named like point_ts (or vice versa) must not make the bare-name
+    # references ambiguous (review r04 — asof_join already guards its clashes)
+    pts = points.withColumn("_bucket", p_bucket).alias("_p")
+    ivs = intervals.withColumn("_bucket", sf.explode(i_buckets)).alias("_i")
     joined = pts.join(ivs, [by, "_bucket"]).filter(
-        (sf.col(point_ts) >= sf.col(start_col))
-        & (sf.col(point_ts) <= sf.col(end_col)))
+        (sf.col(f"_p.{point_ts}") >= sf.col(f"_i.{start_col}"))
+        & (sf.col(f"_p.{point_ts}") <= sf.col(f"_i.{end_col}")))
     return joined.drop("_bucket")

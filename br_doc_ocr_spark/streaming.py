@@ -98,12 +98,18 @@ def deduplicated_stream(transcripts: DataFrame,
     Size ``watermark`` to at least the maximum expected landing lateness
     (a backfill older than the horizon must go through the BATCH dedup
     path, ``dedup.drop_exact_duplicates``, not this stream)."""
-    return (transcripts
-            .withColumn("_content_len", sf.length("text"))
-            .withColumn("_content_md5", sf.md5(sf.encode("text", "UTF-8")))
-            .withWatermark("ts", watermark)
-            .dropDuplicatesWithinWatermark(["_content_len", "_content_md5"])
-            .drop("_content_len", "_content_md5"))
+    # NULL-text rows (tool-only turns) are NOT deduplicated: their key would
+    # be NULL and dropDuplicatesWithinWatermark treats NULL keys as equal,
+    # silently collapsing DISTINCT payload-less turns across conversations
+    # (review r04). They pass through; text dedup applies to text rows.
+    deduped = (transcripts
+               .filter(sf.col("text").isNotNull())
+               .withColumn("_content_len", sf.length("text"))
+               .withColumn("_content_md5", sf.md5(sf.encode("text", "UTF-8")))
+               .withWatermark("ts", watermark)
+               .dropDuplicatesWithinWatermark(["_content_len", "_content_md5"])
+               .drop("_content_len", "_content_md5"))
+    return deduped.unionByName(transcripts.filter(sf.col("text").isNull()))
 
 
 def stream_extract_deduplicated(
@@ -313,13 +319,22 @@ def stream_assembled_conversations(
     """readStream → extraction kernel → stateful assembly → per-batch parquet
     snapshots via foreachBatch (the memory sink cannot recover from a
     checkpoint; foreachBatch can). Each update row is stamped with its batch
-    id — the latest (conv_id, max batch_seq) row is the current assembly."""
+    id — the latest (conv_id, max batch_seq) row is the current assembly.
+
+    Restart safety: foreachBatch is AT-LEAST-ONCE, so the snapshot write is
+    idempotent the same way stream_extract_with_lineage's sinks are —
+    partitioned by ``batch_seq`` with per-write dynamic partition overwrite;
+    a replayed batch rewrites exactly its own partition instead of appending
+    duplicate rows next to a failed attempt's partial files (review r04)."""
     assembled = assemble_conversations(
         extract_stream(read_transcript_stream(spark, input_path)))
 
     def write_snapshot(batch_df: DataFrame, batch_id: int) -> None:
         (batch_df.withColumn("batch_seq", sf.lit(batch_id))
-         .write.mode("append").parquet(output_path))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_seq")
+         .parquet(output_path))
 
     return (assembled.writeStream.foreachBatch(write_snapshot)
             .outputMode("update")

@@ -718,3 +718,77 @@ def test_ivf_int8_index_matches_brute_int8_and_shrinks_bytes(spark, tmp_path):
     # payload columns themselves shrink ~4× (float64-on-disk → packed
     # int8) and the ratio approaches that as file sizes grow
     assert data_bytes(p8) < 0.55 * data_bytes(pf)
+
+
+# ---------------------------------------------------------------------------
+# review r04 follow-ups: degenerate inputs must not kill the job (ANSI mode)
+# ---------------------------------------------------------------------------
+
+def test_cosine_paths_survive_zero_norm_vectors(spark):
+    """An all-zero embedding is a legitimate row: it scores 0 everywhere
+    instead of throwing DIVIDE_BY_ZERO under Spark 4's default ANSI mode."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["cosine"]
+           for r in similarity.cosine_topk(df, [1.0, 0.0], k=3).collect()}
+    assert got[2] == 0.0 and got[1] == 1.0
+
+    # zero-norm QUERY in the int8 path: everything scores 0, nothing throws
+    rows = similarity.cosine_topk_int8(df, [0.0, 0.0], k=3).collect()
+    assert [r["cosine_q"] for r in rows] == [0.0, 0.0, 0.0]
+
+    # knn_join with a zero-norm corpus row
+    q = spark.createDataFrame([(10, [1.0, 0.0])],
+                              "q_id long, embedding array<double>")
+    assert similarity.knn_join(q, df, k=3).count() == 3
+
+
+def test_non_finite_query_raises_named_error(spark):
+    df = spark.createDataFrame([(1, [1.0, 0.0])],
+                               "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="non-finite"):
+        similarity.cosine_topk(df, [float("nan"), 0.0]).collect()
+    with pytest.raises(ValueError, match="non-finite"):
+        similarity.cosine_topk_int8(df, [float("inf"), 0.0]).collect()
+
+
+def test_short_vectors_fail_loudly_in_ivf(spark):
+    """Vectors with fewer dims than n_bits raise a NAMED error on both the
+    corpus side (ivf_bucket) and the query side (probe_buckets) instead of
+    an ANSI element_at crash / silent 0-recall NULL buckets."""
+    df = spark.createDataFrame([(1, [1.0, -1.0, 1.0, -1.0])],
+                               "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="fewer than n_bits"):
+        similarity.ivf_topk(df, [1.0, -1.0, 1.0, -1.0], n_bits=8).collect()
+    with pytest.raises(ValueError, match="fewer than n_bits"):
+        similarity.probe_buckets([1.0, -1.0], n_bits=8)
+
+
+def test_split_dataset_rejects_invalid_ratios(spark):
+    from br_doc_ocr_spark import dataset as ds
+
+    df = spark.range(10).selectExpr("cast(id as string) AS conv_id")
+    with pytest.raises(ValueError, match="train\\+val"):
+        ds.split_dataset(df, train_ratio=0.9, val_ratio=0.2)
+    with pytest.raises(ValueError, match="non-negative"):
+        ds.split_dataset(df, train_ratio=-0.1, val_ratio=0.2)
+
+
+def test_range_join_tolerates_colliding_column_names(spark):
+    """An intervals frame carrying a column named like the point-ts must not
+    make the residual filter ambiguous."""
+    from br_doc_ocr_spark.ops import temporal
+
+    pts = spark.createDataFrame(
+        [(1, "2026-01-01 10:30:00")], "user_id long, ts string"
+    ).selectExpr("user_id", "cast(ts as timestamp) AS ts")
+    ivs = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00", "2026-01-01 11:00:00",
+          "2026-01-01 09:59:00")],
+        "user_id long, start string, end string, ts string"
+    ).selectExpr("user_id", "cast(start as timestamp) AS start",
+                 "cast(end as timestamp) AS end",
+                 "cast(ts as timestamp) AS ts")
+    got = temporal.range_join(pts, ivs)
+    assert got.count() == 1
