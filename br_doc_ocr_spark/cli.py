@@ -255,7 +255,8 @@ def cmd_dataset(args) -> int:
 
     spark = _session(args)
     results = spark.read.parquet(args.input)
-    types = args.types.split(",") if args.types else None
+    types = [t.strip() for t in args.types.split(",")
+             if t.strip()] if args.types else None
     counts = ds.write_training_dataset(
         results, args.output, types=types, train_ratio=args.train_ratio,
         val_ratio=args.val_ratio, key_col=args.key_col)
@@ -319,7 +320,8 @@ def cmd_compact(args) -> int:
     stats = compact_parquet(
         spark, args.input, args.output,
         target_file_mb=args.target_file_mb,
-        sort_cols=tuple(args.sort_by.split(",")) if args.sort_by else (),
+        sort_cols=tuple(c.strip() for c in args.sort_by.split(",")
+                        if c.strip()) if args.sort_by else (),
         small_file_ratio=args.small_file_ratio)
     print(json.dumps({"output": args.output, **stats}))
     return 0

@@ -490,7 +490,10 @@ def oracle_extract_documents(transcripts: pd.DataFrame) -> pd.DataFrame:
 # type decision; priority cnh > rg > invoice mirrors field specificity).
 _DOC_TYPE_HINTS: tuple[tuple[str, frozenset[str]], ...] = (
     ("cnh", frozenset({"categoria_habilitacao"})),
-    ("rg", frozenset({"rg", "orgao_emissor"})),
+    # "registro_geral" is the key the scanner actually emits (review r04:
+    # an earlier "rg" hint could never fire on kernel output); "rg" stays
+    # for caller-supplied field maps that use the short name
+    ("rg", frozenset({"registro_geral", "rg", "orgao_emissor"})),
     ("invoice", frozenset({"cnpj", "valor", "chave_acesso"})),
 )
 
@@ -532,13 +535,22 @@ def extract_one(
 
     from br_doc_ocr_spark.core import schemas as S
 
+    schema_error: Exception | None = None
     if schema is None and document_type is not None:
-        schema = S.get_default(document_type)
+        try:
+            schema = S.get_default(document_type)
+        except Exception as e:
+            # the docstring promises errors are CAPTURED as a failed result,
+            # never raised — an unknown document_type from a library caller
+            # must ride the same channel (review r04)
+            schema_error = e
     allowed = schema_field_names(schema)
 
     def one(payload: str | None) -> dict[str, Any]:
         t0 = _time.perf_counter()
         try:
+            if schema_error is not None:
+                raise schema_error
             r = extract_turn(payload, allowed, redact_fields)
             result = {
                 "document_type": document_type or _document_type_of(r["fields"]),

@@ -402,12 +402,17 @@ def parse_payload_json(text: str | None) -> dict[str, Any]:
     bare = _BARE_JSON.search(s)
     if bare:
         candidates.append(bare.group(0))
-    # brace-BALANCED scan from the first '{': the greedy fallback spans to
-    # the LAST '}' and breaks on trailing text that itself contains braces
+    # brace-BALANCED scan: the greedy fallback spans to the LAST '}' and
+    # breaks on trailing text that itself contains braces
     # ('{"a": 1} code: if (x) { y(); }'); the balanced prefix recovers the
-    # leading object. Quote/escape-aware so braces inside strings don't count.
+    # leading object. Quote/escape-aware so braces inside strings don't
+    # count. Scans from EVERY '{' (capped), not just the first — a
+    # brace-bearing garbage prefix ('result {ok} -> {"cpf": ...}') must not
+    # defeat a valid object that follows (review r04).
     start = s.find("{")
-    if start != -1:
+    scans = 0
+    while start != -1 and scans < 16:
+        scans += 1
         depth = 0
         in_str = False
         escaped = False
@@ -427,6 +432,7 @@ def parse_payload_json(text: str | None) -> dict[str, Any]:
                     if depth == 0:
                         candidates.append(s[start:i + 1])
                         break
+        start = s.find("{", start + 1)
     for cand in candidates:
         try:
             obj = json.loads(cand)

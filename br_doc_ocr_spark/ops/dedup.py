@@ -48,9 +48,15 @@ def exact_duplicates(df: DataFrame, key_col: str = "text",
 def drop_exact_duplicates(df: DataFrame, key_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id row per identical content — deterministic, unlike
-    ``dropDuplicates`` whose survivor is partition-order dependent."""
-    keepers = df.groupBy(key_col).agg(sf.min(id_col).alias(id_col))
-    return df.join(keepers, on=[key_col, id_col], how="left_semi")
+    ``dropDuplicates`` whose survivor is partition-order dependent.
+
+    NULL keys dedup as one group like any other value (review r04: a plain
+    semi-join's non-null-safe equality silently DELETED every NULL-text
+    row — failed-extract rows are legitimate input — instead of keeping
+    one); the join condition is null-safe on the key column."""
+    keepers = df.groupBy(key_col).agg(sf.min(id_col).alias("_keeper_id"))
+    cond = df[key_col].eqNullSafe(keepers[key_col]) &         (df[id_col] == keepers["_keeper_id"])
+    return df.join(keepers, on=cond, how="left_semi")
 
 
 # ---------------------------------------------------------------------------
@@ -182,6 +188,12 @@ def minhash_lsh_candidates(
     Shuffle profile: one explode (rows × bands) + one equi-join keyed by
     (band_idx, band_hash) — colliding docs only; no cartesian anywhere.
     """
+    if bands < 1 or num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} evenly — "
+            "a remainder would silently exclude trailing signature values "
+            "from banding (and bands > num_hashes would generate malformed "
+            "SQL)")
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     band_structs = ", ".join(
@@ -387,7 +399,17 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
                             max_hamming: int = 3) -> DataFrame:
     """Near-dups with Hamming(simhash) ≤ max_hamming via the 4×16-bit-chunk
     pigeonhole join (d ≤ 3 ⇒ at least one chunk identical) — candidates from
-    an equi-join, exact Hamming verified with ``bit_count(a XOR b)``."""
+    an equi-join, exact Hamming verified with ``bit_count(a XOR b)``.
+
+    The 4-chunk pigeonhole is only COMPLETE for max_hamming ≤ 3: at
+    distance 4 the differing bits can land one per chunk and the pair never
+    meets in the equi-join — a silently incomplete answer, so larger
+    thresholds raise instead (review r04)."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-chunk pigeonhole "
+            "guarantee (complete only for <= 3); raise the chunk count "
+            "instead of silently missing pairs")
     sh = simhash_signatures(df, id_col=id_col, text_col=text_col)
     chunks = sh.select(
         "id", "simhash",

@@ -75,8 +75,11 @@ def punct_ratio(text: Column) -> Column:
     """Share of true punctuation: strip Unicode letters/digits/whitespace
     (``[\\p{L}\\p{N}\\s]``) — an ASCII-only class counted every accented
     letter (ã, ç, é — ubiquitous in the Portuguese domain text) as
-    punctuation, systematically penalizing clean documents."""
-    stripped = sf.regexp_replace(text, r"[\p{L}\p{N}\s]", "")
+    punctuation, systematically penalizing clean documents. ``\\p{Z}``
+    joins ``\\s`` because Java's ``\\s`` is ASCII-only: NBSP (ubiquitous in
+    HTML-derived corpora) and ideographic space are separators, not
+    punctuation (review r04); the DuckDB oracle uses the same class."""
+    stripped = sf.regexp_replace(text, r"[\p{L}\p{N}\s\p{Z}]", "")
     return sf.round(sf.length(stripped) / sf.greatest(sf.length(text), sf.lit(1)), 6)
 
 
@@ -273,8 +276,12 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     # measured 26.8 s → 0.6 s at sf0.1 for the SAME values when the arrays
     # are named once and the stats read the named columns
     staged = df.withColumns({
+        # \r?\n: CRLF documents must not keep trailing \r on every line
+        # (blank lines would survive as "\r" and count as duplicates,
+        # wrongly tripping the dup-line curation gate — review r04); the
+        # DuckDB oracle rendering splits with the same regex
         "_rs_lines": sf.expr(
-            f"filter(transform(split({t}, '\\n'), x -> trim(x)), "
+            f"filter(transform(split({t}, '\\r?\\n'), x -> trim(x)), "
             f"x -> x <> '')"),
         "_rs_toks": sf.expr(_sql_filtered_tokens(t)),
     }).withColumns({

@@ -811,7 +811,7 @@ def _sql_quality_expr() -> str:
     en_hits = _sql_stopword_hits(textstats.LANG_STOPWORDS["en"])
     return f"""round(least({_SQL_NTOKENS} / 64.0, 1.0) * 0.4
         + (1.0 - least(
-              length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))::DOUBLE
+              length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s\\p{{Z}}]', '', 'g'))::DOUBLE
               / greatest(length(text), 1) * 5, 1.0)) * 0.3
         + least({en_hits}::DOUBLE
                / greatest({_SQL_NTOKENS}, 1) * 4.0,
@@ -1798,7 +1798,8 @@ def q_text_langid(spark, sf_dir):
 # DuckDB renderings of the repetition fractions (textstats.repetition_stats),
 # shared by the curation oracle. Expressions are inlined per use — DuckDB's
 # CSE handles the repeats; oracle-side cost is irrelevant.
-_SQL_CUR_LINES = ("list_filter(list_transform(string_split(text, chr(10)), "
+_SQL_CUR_LINES = ("list_filter(list_transform("
+                  "string_split_regex(text, '\\r?\\n'), "
                   "x -> trim(x)), x -> x <> '')")
 _SQL_CUR_TOKS = ("list_filter(string_split(regexp_replace(lower(text), "
                  "'[^\\p{L}\\p{N}]+', ' ', 'g'), ' '), x -> x <> '')")

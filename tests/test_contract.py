@@ -245,3 +245,23 @@ def test_extract_one_redact_opt_in_only():
     assert red["redacted_text"] == "CPF [CPF] em anexo"
     assert set(red) - set(base) == {"redacted_text", "redaction_residuals"}
     assert red["redaction_residuals"] == 0
+
+
+def test_rg_classifies_without_issuer_token():
+    """review r04: the rg hint must fire on the key the scanner actually
+    emits (registro_geral), not only when an issuer token is present."""
+    from br_doc_ocr_spark.core.extract import extract_one
+
+    r = extract_one("RG: 12.345.678-9")
+    assert "registro_geral" in r["extracted_data"]
+    assert r["document_type"] == "rg"
+
+
+def test_extract_one_unknown_document_type_rides_error_channel():
+    """review r04: an unknown document_type returns a failed result (the
+    documented API error channel), never raises."""
+    from br_doc_ocr_spark.core.extract import extract_one
+
+    r = extract_one("CPF 123.456.789-09", document_type="nfse")
+    assert r["status"] == "failed"
+    assert "SchemaError" in r["error_message"] or "nfse" in r["error_message"]

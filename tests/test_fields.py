@@ -258,3 +258,15 @@ def test_validators_accept_non_string_cpf():
     errs = F.validate_rg_fields({"registro_geral": "12.345.678-9",
                                  "cpf": 12345678901})
     assert any("Invalid CPF" in e for e in errs)
+
+
+def test_parse_payload_json_recovers_past_brace_garbage_prefix():
+    """review r04: a brace-bearing garbage prefix must not defeat a valid
+    object that follows (the balanced scan tries every '{' start)."""
+    from br_doc_ocr_spark.core.fields import parse_payload_json
+
+    got = parse_payload_json('result {ok} -> {"cpf": "123.456.789-01"}')
+    assert got == {"cpf": "123.456.789-01"}
+    # the leading-object case still wins when IT is the valid one
+    got = parse_payload_json('{"a": 1} code: if (x) { y(); }')
+    assert got == {"a": 1}

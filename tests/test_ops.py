@@ -792,3 +792,26 @@ def test_range_join_tolerates_colliding_column_names(spark):
                  "cast(ts as timestamp) AS ts")
     got = temporal.range_join(pts, ivs)
     assert got.count() == 1
+
+
+def test_crlf_documents_score_like_lf_documents(spark):
+    """review r04: CRLF blank lines must not register as duplicate '\\r'
+    lines and trip the dup-line curation gate."""
+    docs = spark.createDataFrame(
+        [(1, "a\r\nb\r\n\r\nc\r\n\r\nd"), (2, "a\nb\n\nc\n\nd")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["dup_line_frac"], r["dup_line_char_frac"])
+           for r in textstats.repetition_stats(docs).collect()}
+    assert got[1] == got[2] == (0.0, 0.0)
+
+
+def test_unicode_whitespace_is_not_punctuation(spark):
+    """review r04: NBSP (HTML &nbsp;) and ideographic space are separators;
+    counting them as punctuation wrongly sinks quality below the curation
+    floor for clean HTML-derived documents."""
+    docs = spark.createDataFrame(
+        [(1, "word word　word"), (2, "word word word")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["punct_ratio"]
+           for r in textstats.with_text_stats(docs).collect()}
+    assert got[1] == got[2] == 0.0
