@@ -22,7 +22,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # whole path crashed on directories like .../transforms/ that contain 'sf')
 import re as _re
 
-_SF_MATCH = _re.search(r"sf([0-9.]+)/*$", SF_DIR)
+# anchored to a path SEGMENT starting with 'sf' and a well-formed number:
+# a bare trailing match would read '/data/mydatasf2' as SF=2 and crash on
+# 'sf1.2.3' (review r04)
+_SF_MATCH = _re.search(r"(?:^|/)sf([0-9]+(?:\.[0-9]+)?)/*$", SF_DIR)
 _SF = float(_SF_MATCH.group(1)) if _SF_MATCH else 0.1
 N_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", str(int(2_000_000 * _SF))))
 

@@ -796,9 +796,12 @@ def q_eval_prf_flags(spark, sf_dir):
 # ===========================================================================
 
 # whitespace token count with the empty/whitespace-only guard Spark's
-# textstats.token_count applies (a bare split counts 1 token for '')
+# textstats.token_count applies (a bare split counts 1 token for '').
+# The whitespace class is Java's \s spelled out ([ \t\n\x0b\f\r]):
+# RE2's \s lacks \x0B, so a vertical tab would tokenize differently
+# across engines (review r04) — every oracle tokenization uses this class.
 _SQL_NTOKENS = ("(CASE WHEN length(trim(text)) = 0 THEN 0 "
-                "ELSE len(string_split_regex(trim(text), '\\s+')) END)")
+                "ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END)")
 
 
 # (text_token_stats merged into text_quality as a tagged union — r04)
@@ -809,10 +812,14 @@ def _sql_quality_expr() -> str:
     expression, sharing ``_sql_stopword_hits`` (token-equality counts) and
     the Unicode punctuation class with the Spark side."""
     en_hits = _sql_stopword_hits(textstats.LANG_STOPWORDS["en"])
+    # round(ratio, 6) BEFORE the x5, matching Spark's punct_ratio() which
+    # rounds its output — unrounded, a boundary document's quality could
+    # flip in the 6th decimal across engines (review r04). \x0b joins the
+    # class because RE2's \s lacks it (Java's includes it).
     return f"""round(least({_SQL_NTOKENS} / 64.0, 1.0) * 0.4
-        + (1.0 - least(
-              length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s\\p{{Z}}]', '', 'g'))::DOUBLE
-              / greatest(length(text), 1) * 5, 1.0)) * 0.3
+        + (1.0 - least(round(
+              length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s\\x0b\\p{{Z}}]', '', 'g'))::DOUBLE
+              / greatest(length(text), 1), 6) * 5, 1.0)) * 0.3
         + least({en_hits}::DOUBLE
                / greatest({_SQL_NTOKENS}, 1) * 4.0,
                1.0) * 0.3, 6)"""
@@ -885,7 +892,7 @@ def q_dedup_exact_groups(spark, sf_dir):
       SELECT doc_id + 1000000, text || ' zz mutation token' FROM documents
       WHERE doc_id % 5 = 0
     ), toks AS (
-      SELECT id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      SELECT id, list_distinct(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS tok
       FROM corpus)
     SELECT * FROM (
       SELECT a.id AS id_a, b.id AS id_b,
@@ -931,7 +938,7 @@ def _query_vector(spark, sf_dir) -> list[float]:
       WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
                  WHERE vec_id = 0)
       SELECT vec_id,
-             round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6)
+             round(CASE WHEN list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) = 0 OR list_sum(list_transform(q.qv, x -> x*x)) = 0 THEN 0.0 ELSE list_cosine_similarity(embedding::DOUBLE[], q.qv) END, 6)
                AS cosine
       FROM embeddings, q
       ORDER BY cosine DESC, vec_id ASC LIMIT 10)
@@ -951,7 +958,7 @@ def _query_vector(spark, sf_dir) -> list[float]:
                    + CASE WHEN qv[3] > 0 THEN 4 ELSE 0 END
                    + CASE WHEN qv[4] > 0 THEN 8 ELSE 0 END) AS qbucket FROM q)
       SELECT vec_id,
-             round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6)
+             round(CASE WHEN list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) = 0 OR list_sum(list_transform(q.qv, x -> x*x)) = 0 THEN 0.0 ELSE list_cosine_similarity(embedding::DOUBLE[], q.qv) END, 6)
                AS cosine
       FROM bucketed, q, qb WHERE xor(bucket, qbucket) IN (0, 1, 2, 4, 8)
       ORDER BY cosine DESC, vec_id ASC LIMIT 10)
@@ -970,21 +977,6 @@ def q_ann_topk(spark, sf_dir):
     ivf = (similarity.ivf_topk(emb, qv, k=10, n_bits=4, probe_hamming=1)
            .select(sf.lit("ivf").alias("method"), "vec_id", "cosine"))
     return brute.unionByName(ivf)
-
-
-def _quantize_query(query_vec: list[float]) -> tuple[list[int], float]:
-    """Driver-side twin of :func:`similarity.quantize_embeddings` for the
-    literal query vector — identical arithmetic (scale = max|x|/127, code =
-    clamp(floor(x/scale + 0.5), ±127)) so query codes match what the column
-    expression would produce."""
-    import math
-
-    scale = max(abs(x) for x in query_vec) / 127.0
-    if scale == 0.0:
-        return [0] * len(query_vec), 0.0
-    codes = [int(max(min(math.floor(x / scale + 0.5), 127), -127))
-             for x in query_vec]
-    return codes, scale
 
 
 @register(
@@ -1048,10 +1040,9 @@ def q_ann_cosine_topk_int8(spark, sf_dir):
                      FROM embeddings WHERE vec_id < 3)
     SELECT q_id, vec_id, cosine, rank FROM (
       SELECT q.q_id, e.vec_id,
-             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine,
+             round(CASE WHEN list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)) = 0 OR list_sum(list_transform(q.qv, x -> x*x)) = 0 THEN 0.0 ELSE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) END, 6) AS cosine,
              row_number() OVER (PARTITION BY q.q_id
-                                ORDER BY round(list_cosine_similarity(
-                                  e.embedding::DOUBLE[], q.qv), 6) DESC,
+                                ORDER BY round(CASE WHEN list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)) = 0 OR list_sum(list_transform(q.qv, x -> x*x)) = 0 THEN 0.0 ELSE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) END, 6) DESC,
                                 e.vec_id ASC) AS rank
       FROM embeddings e, queries q)
     WHERE rank <= 5
@@ -1076,7 +1067,7 @@ def q_ann_knn_join(spark, sf_dir):
       FROM embeddings)
     SELECT * FROM (
       SELECT l.id AS id_a, r.id AS id_b,
-             round(list_cosine_similarity(l.v, r.v), 6) AS cosine
+             round(CASE WHEN list_sum(list_transform(l.v, x -> x*x)) = 0 OR list_sum(list_transform(r.v, x -> x*x)) = 0 THEN 0.0 ELSE list_cosine_similarity(l.v, r.v) END, 6) AS cosine
       FROM b l JOIN b r
         ON xor(l.bucket, r.bucket) IN (0, 1, 2, 4, 8) AND l.id < r.id)
     WHERE cosine >= 0.3
@@ -1233,7 +1224,7 @@ def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8) -> str:
     ),
     toks AS (
       SELECT doc_id,
-             string_split_regex(trim(lower(text)), '\\s+') AS tokens
+             string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS tokens
       FROM corpus
     ),
     shingled AS (
@@ -1441,7 +1432,10 @@ def q_temporal_joins(spark, sf_dir):
              .groupBy("user_id", "ts")
              .agg(sf.max("value").alias("click_value")))
     joined = temporal.asof_join(left, right, value_cols=["click_value"])
-    matched = sf.col("click_value_asof").isNotNull()
+    # gate on the JOIN KEY's nullity, not the value's: a click group whose
+    # values are all NULL still matched (review r04 — the oracle gates on
+    # r.ts IS NOT NULL)
+    matched = sf.col("ts_asof").isNotNull()
     # parquet reads ts as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
     # gap is a difference, so the session-tz shift cancels exactly
     us = lambda c: sf.unix_micros(sf.col(c).cast("timestamp"))  # noqa: E731
@@ -1535,7 +1529,7 @@ def _simhash_oracle_sql() -> str:
     ),
     toks AS (
       SELECT doc_id,
-             unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             unnest(list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'),
                                 x -> x <> '')) AS tok
       FROM corpus
     ),

@@ -18,7 +18,15 @@ DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 def driver_memory_for(cpus: int) -> str:
     """Heap sized to task concurrency: ~0.75 GiB per local task slot
     (each can hold an open parquet writer's ~128 MiB row-group buffer plus
-    Arrow/shuffle buffers), 8 GiB floor; SPARK_GRAFT_DRIVER_MEM overrides."""
+    Arrow/shuffle buffers), 8 GiB floor; SPARK_GRAFT_DRIVER_MEM overrides.
+
+    CAVEAT (review r04): in local mode ``spark.driver.memory`` only takes
+    effect for the FIRST JVM launched in a Python process — the py4j
+    gateway survives SparkContext stop/start, so later ``build_session``
+    calls in the same process silently keep the first session's heap.
+    Callers running multiple sessions per process (bench.py's scaling
+    legs) must make the FIRST session the largest, or run each sizing in
+    a fresh process."""
     return os.environ.get("SPARK_GRAFT_DRIVER_MEM",
                           f"{max(8, (cpus * 3) // 4)}g")
 

@@ -50,11 +50,26 @@ def canonicalize(df: pd.DataFrame) -> tuple[int, list[str], list[tuple]]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
-    for a in sys.argv[1:]:
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
+        elif a == "--sf":           # the space-separated spelling too
+            i += 1
+            if i >= len(argv):
+                print("--sf requires a directory argument")
+                return 2
+            sf_dir = argv[i]
+        elif a.startswith("--"):
+            print(f"unknown option {a!r}")
+            return 2
+        else:
+            args.append(a)
+        i += 1
 
     from br_doc_ocr_spark.session import build_session
     from br_doc_ocr_spark.queries import REGISTRY
@@ -66,6 +81,11 @@ def main() -> int:
             f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
 
     names = args or list(REGISTRY)
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        print(f"unknown query name(s): {', '.join(unknown)} — "
+              f"known: {', '.join(sorted(REGISTRY))}")
+        return 2
     failures = []
     for name in names:
         qd = REGISTRY[name]
