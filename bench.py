@@ -422,14 +422,54 @@ def main() -> None:
     spark.stop()
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    full = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": _SF,
         **extra,
-    }))
+    }
+    # Full detail (per-run arrays, host probe, dedup pipeline, equalized-leg
+    # raw data) goes to bench_runs/; the FINAL stdout line stays COMPACT.
+    # The driver captures only the last ~2 KB of stdout and json-parses the
+    # final line — round 4's line outgrew that window and shipped
+    # `parsed: null` (VERDICT r04 #1), so the contract here is: last line
+    # < ~1.5 KB, everything else in the detail file.
+    os.makedirs("bench_runs", exist_ok=True)
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG",
+                         time.strftime("%Y-%m-%d_%H%M%S"))
+    detail_path = os.path.join("bench_runs", f"{tag}.json")
+    with open(detail_path, "w") as f:
+        json.dump(full, f, indent=1)
+    compact: dict[str, object] = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _SF,
+        "detail_file": detail_path,
+    }
+    ksc = extra.get("kernel_single_core")
+    if isinstance(ksc, dict):
+        compact["kernel_single_core_turns_per_sec"] = ksc["turns_per_sec"]
+    if "extract_turns_per_sec" in extra:
+        compact["extract_turns_per_sec"] = extra["extract_turns_per_sec"]
+    sc = extra.get("scaling")
+    if isinstance(sc, dict):
+        compact["scaling"] = {
+            "cpus_low": sc["cpus_low"], "cpus_high": sc["cpus_high"],
+            "turns_per_sec_low": sc["turns_per_sec_low"],
+            "turns_per_sec_high": sc["turns_per_sec_high"],
+            "efficiency": sc["efficiency"],
+            "efficiency_raw": sc["efficiency_raw"],
+        }
+    line = json.dumps(compact)
+    if len(line) > 1536:  # belt-and-braces: never outgrow the tail window
+        compact.pop("queries", None)
+        compact["queries_in_detail_file"] = True
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -53,10 +53,19 @@ def drop_exact_duplicates(df: DataFrame, key_col: str = "text",
     NULL keys dedup as one group like any other value (review r04: a plain
     semi-join's non-null-safe equality silently DELETED every NULL-text
     row — failed-extract rows are legitimate input — instead of keeping
-    one); the join condition is null-safe on the key column."""
-    keepers = df.groupBy(key_col).agg(sf.min(id_col).alias("_keeper_id"))
-    cond = df[key_col].eqNullSafe(keepers[key_col]) &         (df[id_col] == keepers["_keeper_id"])
-    return df.join(keepers, on=cond, how="left_semi")
+    one); the join condition is null-safe on the key column.
+
+    Both sides are explicitly aliased and the condition built from
+    qualified refs: mixing a frame's columns with its groupBy-derived
+    child's made Spark log 'Constructing trivially true equals predicate'
+    and resolve only via ambiguous-self-join disambiguation — working but
+    fragile across Spark versions (ADVICE r04)."""
+    keepers = (df.groupBy(key_col)
+               .agg(sf.min(id_col).alias("_keeper_id")).alias("r"))
+    left = df.alias("l")
+    cond = (sf.col(f"l.{key_col}").eqNullSafe(sf.col(f"r.{key_col}"))
+            & (sf.col(f"l.{id_col}") == sf.col("r._keeper_id")))
+    return left.join(keepers, on=cond, how="left_semi")
 
 
 # ---------------------------------------------------------------------------
@@ -311,14 +320,27 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     17 longs, not 65, and the per-row update is shift-adds, not 64 CASE
     branches (profiled 2.4 s → ~1 s for the signature stage at sf0.1).
 
-    A 16-bit lane overflows at 65 536 votes, so the token aggregate groups
-    by (id, ``pos % salt_buckets``) — per-group token count stays under
-    2^16 for documents up to ``salt_buckets``·65 536 tokens (~1.5 MB of text
-    at the default 4; raise for longer corpora) — and a second, tiny
-    aggregate (≤ ``salt_buckets`` rows/doc) unpacks the lanes and sums the
-    64 exact per-bit counts. Overflow is GUARDED, not silent: a document
-    over the capacity raises via ``raise_error`` instead of corrupting
-    neighbor lanes. Bit i of the signature is set iff more than half the
+    Duplicate tokens are PRE-AGGREGATED before the wide vote aggregate
+    (VERDICT r04 #2): a cheap count-only groupBy(id, salt, token-hash)
+    collapses token instances to distinct tokens with a count, and each
+    lane vote is weighted by that count — the 17-long partial-agg then
+    sees distinct tokens, not token instances (the vote aggregation was
+    profiled at 1.8 s of the 3.1 s query; real corpora repeat stopwords
+    2-5×). Values are unchanged: Σ over instances of bit(t) ≡ Σ over
+    distinct tokens of cnt(t)·bit(t).
+
+    A 16-bit lane holds per-bit counts, so the token aggregate groups
+    by (id, ``pos % salt_buckets``) and a second, tiny aggregate
+    (≤ ``salt_buckets`` rows/doc) unpacks the lanes and sums the
+    64 exact per-bit counts. The per-lane capacity is 32 767 (not the
+    16-bit 65 535): Spark 4 runs ANSI mode by default, where a lane-3
+    vote sum above 32 767·2^48 overflows the signed long and RAISES
+    mid-aggregation — capping at 2^15−1 keeps every packed sum below
+    2^63 (documents up to ``salt_buckets``·32 767 tokens, ~750 KB of
+    text at the default 4; raise ``salt_buckets`` for longer corpora).
+    Overflow beyond that is GUARDED, not silent: a document over the
+    capacity raises via ``raise_error`` instead of corrupting neighbor
+    lanes. Bit i of the signature is set iff more than half the
     token hashes have bit i set — values identical to the unpacked
     formulation (tests pin this against the Python model).
     ``posexplode_outer`` keeps tokenless documents (empty/whitespace text)
@@ -326,17 +348,28 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     ``when`` to 0 — signature 0, one scan, no join-back (the empty-doc
     drop ADVICE r01 flagged for minhash does not recur here).
     """
-    # 65535 (not 65536) per lane: a full 2^16 count would carry into the
-    # neighbor lane even though it "fits" the document cap
-    cap = salt_buckets * 65535
-    toks = df.select(
-        sf.col(id_col).alias("id"),
-        sf.posexplode_outer(simhash_tokens(sf.col(text_col)))
-        .alias("_pos", "_tok"))
-    h = toks.select(
-        "id", sf.pmod(sf.coalesce("_pos", sf.lit(0)),
-                      sf.lit(salt_buckets)).alias("_salt"),
-        _token_hash64(sf.col("_tok")).alias("_h"))
+    # 32767 per lane: position-salting balances instances EXACTLY across
+    # the salt groups (pos % salt_buckets), so _n ≤ cap bounds every
+    # group's vote total — and with it every packed lane sum — at 32767,
+    # under both the 16-bit lane width and the ANSI signed-long ceiling
+    cap = salt_buckets * 32767
+    # SQL-string rendering of simhash_tokens + _token_hash64 (same
+    # expressions, one py4j call per select instead of ~40 — query build
+    # time is part of every bench rep, r05 profile)
+    toks = df.selectExpr(
+        f"{id_col} AS id",
+        "posexplode_outer(filter(split(trim(lower("
+        f"{text_col})), '\\\\s+'), x -> x != '')) AS (_pos, _tok)")
+    h = toks.selectExpr(
+        "id", f"pmod(coalesce(_pos, 0), {salt_buckets}) AS _salt",
+        "CASE WHEN _tok IS NULL THEN CAST(NULL AS BIGINT) "
+        "ELSE xxhash64(_tok) END AS _h")
+    # token pre-aggregation: count-only partial agg (single counter per
+    # hashmap slot) collapses instances → (distinct token, cnt); count(_h)
+    # skips the null-token row of a tokenless doc, so its group carries
+    # cnt = 0 and the final _n stays 0 exactly as the instance-level
+    # count(_p0) did
+    pre = h.groupBy("id", "_salt", "_h").agg(sf.expr("count(_h) AS _cnt"))
 
     # nibble→lane spread in 4 ops: for nibble bits b0..b3, multiplying by
     # C = 1 + 2^15 + 2^30 + 2^45 lands bit k at position k + 15k' for each
@@ -352,12 +385,16 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     spread_c = (1 << 45) | (1 << 30) | (1 << 15) | 1
     lane_m = (1 << 48) | (1 << 32) | (1 << 16) | 1
 
-    lanes16 = h.selectExpr(
-        "id", "_salt",
-        *[f"(shiftrightunsigned(_h, {4 * j}) & 15) * {spread_c}L"
-          f" & {lane_m}L AS _p{j}" for j in range(16)])
+    # weighting by _cnt is carry-free: the masked spread holds 0/1 at lane
+    # positions {0,16,32,48}, and _cnt ≤ 32767 (bounded by the cap guard)
+    # keeps each product term within its 16-bit lane and the whole packed
+    # word below 2^63 (ANSI-safe)
+    lanes16 = pre.selectExpr(
+        "id", "_salt", "_cnt",
+        *[f"((shiftrightunsigned(_h, {4 * j}) & 15) * {spread_c}L"
+          f" & {lane_m}L) * _cnt AS _p{j}" for j in range(16)])
     partial = lanes16.groupBy("id", "_salt").agg(
-        sf.expr("count(_p0) AS _n"),
+        sf.expr("sum(_cnt) AS _n"),
         *[sf.expr(f"sum(_p{j}) AS _p{j}") for j in range(16)])
 
     def unpacked(i: int) -> str:
@@ -367,20 +404,27 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
     votes = partial.groupBy("id").agg(
         sf.expr("sum(_n) AS _n"), *[sf.expr(unpacked(i)) for i in range(64)])
+    # the overflow guard is hoisted into ONE projected column (_ng) instead
+    # of being inlined into every pack term: 64 copies of a raise_error CASE
+    # subtree made the expression tree big enough that Catalyst's per-action
+    # re-optimization alone cost ~0.5 s per run at ANY data size (r05
+    # profile) — same values, same raise semantics, 1/64th the tree
     guard = (f"CASE WHEN _n > {cap} THEN raise_error(concat("
              f"'simhash vote lanes overflow: document has > {cap} tokens"
              f" — raise salt_buckets for id ', CAST(id AS STRING)))"
              f" ELSE _n END")
+    guarded = votes.selectExpr("id", f"({guard}) AS _ng",
+                               *[f"_s{i}" for i in range(64)])
     # disjoint bit contributions sum to the packed word; bit 63 is the sign
     # bit of the signed long, hence the -2^63 literal
     # bit 63: -2^63 itself does not parse as a literal (unary minus over an
     # out-of-range positive), hence the two-term form
     pack = " + ".join(
-        f"CAST(CASE WHEN _s{i} * 2 > {guard} THEN "
+        f"CAST(CASE WHEN _s{i} * 2 > _ng THEN "
         f"{'(-9223372036854775807L - 1L)' if i == 63 else f'{1 << i}L'}"
         f" ELSE 0L END AS BIGINT)"
         for i in range(64))
-    return votes.selectExpr("id", f"({pack}) AS {out_col}")
+    return guarded.selectExpr("id", f"({pack}) AS {out_col}")
 
 
 def with_simhash(df: DataFrame, text_col: str = "text",
@@ -411,23 +455,22 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
             "guarantee (complete only for <= 3); raise the chunk count "
             "instead of silently missing pairs")
     sh = simhash_signatures(df, id_col=id_col, text_col=text_col)
-    chunks = sh.select(
-        "id", "simhash",
-        sf.explode(sf.array(*[
-            sf.struct(
-                sf.lit(c).alias("chunk_idx"),
-                sf.shiftright("simhash", 16 * c).bitwiseAND(sf.lit(0xFFFF)).alias("chunk"),
-            ) for c in range(4)
-        ])).alias("c"),
-    ).select("id", "simhash", "c.chunk_idx", "c.chunk")
+    # SQL-string chunk explode: identical plan to the Column-composed form
+    # (struct array → explode), ~70 fewer py4j round trips per query build
+    chunk_structs = ", ".join(
+        f"named_struct('chunk_idx', {c}, 'chunk', "
+        f"shiftright(simhash, {16 * c}) & 65535)" for c in range(4))
+    chunks = sh.selectExpr(
+        "id", "simhash", f"explode(array({chunk_structs})) AS c",
+    ).selectExpr("id", "simhash", "c.chunk_idx AS chunk_idx",
+                 "c.chunk AS chunk")
     l, r = chunks.alias("l"), chunks.alias("r")
     return (
         l.join(r, [sf.col("l.chunk_idx") == sf.col("r.chunk_idx"),
                    sf.col("l.chunk") == sf.col("r.chunk"),
                    sf.col("l.id") < sf.col("r.id")])
-        .select(sf.col("l.id").alias("id_a"), sf.col("r.id").alias("id_b"),
-                sf.bit_count(sf.col("l.simhash").bitwiseXOR(sf.col("r.simhash")))
-                .alias("hamming"))
+        .selectExpr("l.id AS id_a", "r.id AS id_b",
+                    "bit_count(l.simhash ^ r.simhash) AS hamming")
         .dropDuplicates(["id_a", "id_b"])
         .filter(sf.col("hamming") <= max_hamming)
     )

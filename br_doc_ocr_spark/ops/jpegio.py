@@ -166,24 +166,31 @@ class _BitReader:
         self.n = 0
 
     def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise ValueError("JPEG: truncated entropy-coded data "
-                             "(payload ends mid-scan)")
-        b = self.data[self.pos]
-        if b == 0xFF:
+        while True:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG: truncated entropy-coded data "
+                                 "(payload ends mid-scan)")
+            b = self.data[self.pos]
+            if b != 0xFF:
+                self.pos += 1
+                break
             if self.pos + 1 >= len(self.data):
                 raise ValueError("JPEG: truncated entropy-coded data "
                                  "(payload ends mid-marker)")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:
+                break  # byte-stuffed 0xFF data byte
+            if nxt == 0xFF:
+                # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a
+                # marker — skip one and re-examine (treating FF FF as an
+                # error rejected spec-legal third-party JPEGs, ADVICE r04)
+                self.pos += 1
+                continue
+            if 0xD0 <= nxt <= 0xD7:
                 raise _RestartMarker(nxt)
-            else:
-                raise ValueError(
-                    f"JPEG: unexpected marker 0xFF{nxt:02X} inside scan")
-        else:
-            self.pos += 1
+            raise ValueError(
+                f"JPEG: unexpected marker 0xFF{nxt:02X} inside scan")
         self.acc = (self.acc << 8) | b
         self.n += 8
 
@@ -327,6 +334,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         f"JPEG: invalid sampling factors {hi}x{vi} for "
                         f"component {cid}")
                 comps.append((cid, hi, vi, seg[8 + 3 * i]))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for cid, hi, vi, _tq in comps:
+                if hmax % hi or vmax % vi:
+                    # spec-legal but unsupported (e.g. 3x1 luma vs 2x1
+                    # chroma): the integer-ratio upsampler would crash with
+                    # a numpy shape mismatch instead of a clear error
+                    # (ADVICE r04)
+                    raise ValueError(
+                        f"JPEG: fractional subsampling unsupported "
+                        f"(component {cid} samples {hi}x{vi} vs max "
+                        f"{hmax}x{vmax} — non-integer upsampling ratio)")
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):

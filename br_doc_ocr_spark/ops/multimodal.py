@@ -17,9 +17,14 @@ signatures, Arrow batch shapes — is real and tested; the decoder is either
   :class:`ImageDecoder` sniffs the payload's magic bytes and routes to the
   right codec, so the image family runs end-to-end on real bytes of both
   dominant web formats even in this library-less sandbox, or
+- :class:`WavDecoder`: REAL audio decode with no external dependency —
+  stdlib-struct RIFF/WAVE PCM + IEEE-float profile (:mod:`wavio`), so the
+  audio family runs end-to-end on real bytes just like the image family, or
 - :class:`LibraryDecoder`: the full-codec path — PIL-backed image decode
-  behind an import gate (the reference's own dependency), audio/video
-  raising ``NotImplementedError`` with the exact swap instructions
+  behind an import gate (the reference's own dependency) with a
+  dependency-free fallback for PNG/JPEG payloads, RIFF audio payloads
+  routed to :class:`WavDecoder`, compressed audio and video raising
+  ``NotImplementedError`` with the exact swap instructions
   (torchaudio/PyAV) — the clearly-marked stubs a production deployment
   replaces.
 
@@ -196,6 +201,39 @@ class ImageDecoder:
             "decoder")
 
 
+class WavDecoder:
+    """REAL audio decode, zero external dependencies: payloads are
+    RIFF/WAVE bytes, decoded by the stdlib-struct + NumPy codec in
+    :mod:`wavio` (PCM 8/16/24/32-bit and IEEE float 32/64). Multi-channel
+    audio downmixes to mono by channel mean (deterministic). The file's
+    own sample rate is authoritative; mismatched metadata raises rather
+    than silently mis-labeling downstream features — the same contract as
+    the image decoders (the kernel passes ``meta.sample_rate`` as the
+    expected rate)."""
+
+    def decode_audio(self, payload: bytes, n_samples: int) -> np.ndarray:
+        from br_doc_ocr_spark.ops import wavio
+
+        wave, rate = wavio.decode_wav(payload)
+        if rate != n_samples:
+            raise ValueError(
+                f"media metadata says sample_rate={n_samples} but the WAV "
+                f"header says {rate} — refusing to feature-extract "
+                f"mislabeled media")
+        return wave.mean(axis=1)
+
+    def decode_image(self, payload: bytes, width: int, height: int):
+        raise NotImplementedError(
+            "WavDecoder handles audio only; route image rows to another "
+            "decoder")
+
+    def decode_video_frame(self, payload: bytes, frame_idx: int,
+                           width: int, height: int):
+        raise NotImplementedError(
+            "WavDecoder handles audio only; route video rows to another "
+            "decoder")
+
+
 class LibraryDecoder:
     """The full-codec production decoder. Image decode uses PIL when it is
     installed (the reference's own dependency, ``services/preprocessing.py:
@@ -236,10 +274,19 @@ class LibraryDecoder:
             img = img.convert("RGB")
         return np.asarray(img, dtype=np.uint8)
 
+    _wav = None  # lazy shared WavDecoder for the RIFF fallback
+
     def decode_audio(self, payload: bytes, n_samples: int):
+        if payload[:4] == b"RIFF":
+            # WAV/PCM is decodable dependency-free, mirroring the image
+            # fallback — only genuinely compressed formats need the library
+            if self._wav is None:
+                self._wav = WavDecoder()
+            return self._wav.decode_audio(payload, n_samples)
         raise NotImplementedError(
-            "real audio decode requires torchaudio/soundfile — not available; "
-            "use FakeDecoder")
+            "compressed audio decode requires torchaudio/soundfile — not "
+            "available in this environment; WAV/PCM payloads work "
+            "dependency-free via WavDecoder")
 
     def decode_video_frame(self, payload: bytes, frame_idx: int,
                            width: int, height: int):
@@ -288,7 +335,12 @@ def image_feature_kernel(decoder=None, on_error: str = "raise"):
                 w, h = int(meta["width"]), int(meta["height"])
                 try:
                     img = decoder.decode_image(bytes(payload), w, h)
-                except ValueError:
+                except (ValueError, OSError):
+                    # OSError too: PIL's UnidentifiedImageError (corrupt or
+                    # unknown-format payload under LibraryDecoder) subclasses
+                    # OSError, not ValueError — without it, with PIL installed
+                    # one bad blob would still kill the whole partition,
+                    # defeating the quarantine contract (ADVICE r04)
                     if on_error == "skip":
                         continue
                     raise
@@ -324,9 +376,18 @@ AUDIO_FEATURES_DDL = (
 )
 
 
-def audio_feature_kernel(decoder=None, frame_size: int = 1024):
-    """decode → RMS / zero-crossing / framed energy, per Arrow batch."""
+def audio_feature_kernel(decoder=None, frame_size: int = 1024,
+                         on_error: str = "raise"):
+    """decode → RMS / zero-crossing / framed energy, per Arrow batch.
+
+    ``on_error='skip'`` quarantines corrupt payloads at ROW granularity,
+    same contract as :func:`image_feature_kernel` (one bad blob must not
+    kill a scan partition at cluster scale). ``n_samples`` reports the
+    DECODED length — for :class:`FakeDecoder` that equals the metadata
+    rate by construction; for real WAV payloads it is the file's truth."""
     decoder = decoder or FakeDecoder()
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -334,13 +395,19 @@ def audio_feature_kernel(decoder=None, frame_size: int = 1024):
             for media_id, payload, meta in zip(batch["media_id"],
                                                batch["payload"], batch["meta"]):
                 n = int(meta["sample_rate"])  # 1 second of synthetic audio
-                wave = decoder.decode_audio(bytes(payload), n)
+                try:
+                    wave = decoder.decode_audio(bytes(payload), n)
+                except (ValueError, OSError):
+                    if on_error == "skip":
+                        continue
+                    raise
+                n_out = int(wave.shape[0])
                 zc = int(np.sum(np.signbit(wave[1:]) != np.signbit(wave[:-1])))
-                n_frames = max(n // frame_size, 1)
+                n_frames = max(n_out // frame_size, 1)
                 energy = [float(np.sqrt(np.mean(
                     wave[i * frame_size:(i + 1) * frame_size] ** 2)))
                     for i in range(n_frames)]
-                rows.append((int(media_id), n,
+                rows.append((int(media_id), n_out,
                              float(np.sqrt(np.mean(wave ** 2))), zc, energy))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "n_samples", "rms", "zero_crossings",
@@ -393,9 +460,10 @@ def image_features(media: DataFrame, decoder=None,
                             schema=IMAGE_FEATURES_DDL)
 
 
-def audio_features(media: DataFrame, decoder=None) -> DataFrame:
+def audio_features(media: DataFrame, decoder=None,
+                   on_error: str = "raise") -> DataFrame:
     auds = media.filter(media.kind == "audio")
-    return auds.mapInPandas(audio_feature_kernel(decoder),
+    return auds.mapInPandas(audio_feature_kernel(decoder, on_error=on_error),
                             schema=AUDIO_FEATURES_DDL)
 
 
@@ -464,6 +532,40 @@ def synth_jpeg_media(spark: SparkSession, n: int = 8,
         rows.append((start_id + i, "image", bytearray(payload), {
             "width": width, "height": height, "n_frames": 1,
             "sample_rate": 0, "format": "jpeg"}))
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA_DDL)
+
+
+def synth_wav_media(spark: SparkSession, n: int = 8,
+                    start_id: int = 0) -> DataFrame:
+    """Deterministic REAL-WAV media table: seeded integer-frequency sine
+    mixes quantized to int16 and encoded to actual RIFF/PCM bytes
+    (wavio.encode_wav) — the e2e corpus for :class:`WavDecoder`. Rows
+    alternate mono and stereo (the decoder's downmix path), and lengths
+    vary around one second so the kernel's decoded-length reporting is
+    exercised against file truth rather than metadata."""
+    import pandas as pd  # noqa: F811
+
+    from br_doc_ocr_spark.ops import wavio
+
+    rows = []
+    for i in range(n):
+        rate = 8000
+        length = rate + (i % 3) * 1000 - 500   # 7500..9500 samples
+        t = np.arange(length, dtype=np.float64) / rate
+        base = (0.5 * np.sin(2 * np.pi * (220 + 110 * (i % 4)) * t)
+                + 0.25 * np.sin(2 * np.pi * (440 + 55 * i) * t))
+        q = np.floor(base * 32767 + 0.5).astype(np.int16)
+        if i % 2:
+            # stereo: right channel phase-shifted by a quarter period
+            right = np.roll(q, length // 17)
+            samples = np.stack([q, right], axis=1)
+        else:
+            samples = q
+        rows.append((start_id + i, "audio",
+                     bytearray(wavio.encode_wav(samples, rate)), {
+                         "width": 0, "height": 0, "n_frames": 0,
+                         "sample_rate": rate, "format": "wav"}))
     pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
     return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA_DDL)
 

@@ -567,6 +567,13 @@ def compact_parquet(spark: SparkSession, input_path: str, output_path: str,
         return out
 
     listing = _parquet_files(input_path)
+    if not listing:
+        # zero parquet files: reading the (empty) output back for the rows
+        # count would fail parquet schema inference with AnalysisException —
+        # return empty stats instead (ADVICE r04)
+        return {"files_before": 0, "files_after": 0, "bytes": 0,
+                "rewritten_files": 0, "rewritten_bytes": 0,
+                "copied_files": 0, "rows": 0}
     bytes_total = sum(s for _, s in listing)
     threshold = int(small_file_ratio * target_file_mb * 1024 * 1024)
     small = [(p, s) for p, s in listing if s < threshold]

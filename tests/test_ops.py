@@ -104,6 +104,39 @@ def test_simhash_signatures_match_python_model(spark):
     assert got == {i: _simhash64_py(t) for i, t in rows}
 
 
+def test_simhash_repeated_tokens_weighted_exactly(spark):
+    """The r05 token pre-aggregation weights lane votes by the duplicate
+    count — a heavily repetitive doc (the case the optimization collapses)
+    must still match the instance-level Python model exactly."""
+    rows = [
+        (0, "spam " * 500 + "ham eggs " * 120 + "unique closing sentence"),
+        (1, ("the the the quick quick brown fox fox fox fox " * 40).strip()),
+        (2, "no repeats here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["simhash"]
+           for r in dedup.simhash_signatures(df).collect()}
+    assert got == {i: _simhash64_py(t) for i, t in rows}
+
+
+def test_simhash_overflow_guard_raises_over_capacity(spark):
+    """A document over salt_buckets·32767 tokens must raise the lane-
+    capacity error (loud guard, never silent lane corruption) — and one
+    just under the cap must succeed with exact values. salt_buckets=1
+    keeps the boundary cheap to synthesize."""
+    from pyspark.errors import PySparkException
+
+    over = " ".join(f"t{i % 97}" for i in range(32768))
+    df = spark.createDataFrame([(0, over)], "doc_id long, text string")
+    with pytest.raises(PySparkException, match="simhash vote lanes overflow"):
+        dedup.simhash_signatures(df, salt_buckets=1).collect()
+
+    under = " ".join(f"t{i % 97}" for i in range(32767))
+    df_ok = spark.createDataFrame([(0, under)], "doc_id long, text string")
+    [row] = dedup.simhash_signatures(df_ok, salt_buckets=1).collect()
+    assert row["simhash"] == _simhash64_py(under)
+
+
 def test_simhash_is_locality_sensitive():
     a = _simhash64_py("the quick brown fox jumps over the lazy dog")
     b = _simhash64_py("the quick brown fox jumps over the lazy cat")

@@ -386,6 +386,18 @@ def test_compact_parquet_refuses_in_place(spark, tmp_path):
         pipeline.compact_parquet(spark, src, src + "/")
 
 
+def test_compact_parquet_empty_input_returns_empty_stats(spark, tmp_path):
+    """Zero parquet files under the input must return zeroed stats, not die
+    in schema inference reading the empty output back (ADVICE r04)."""
+    src = tmp_path / "empty"
+    src.mkdir()
+    (src / "_SUCCESS").touch()  # marker files don't count as parquet
+    stats = pipeline.compact_parquet(spark, str(src), str(tmp_path / "out"))
+    assert stats == {"files_before": 0, "files_after": 0, "bytes": 0,
+                     "rewritten_files": 0, "rewritten_bytes": 0,
+                     "copied_files": 0, "rows": 0}
+
+
 def _iceberg_available(spark) -> bool:
     """True iff an iceberg-spark-runtime jar is on the session classpath."""
     try:
