@@ -1872,74 +1872,141 @@ def q_curate_drop_reasons(spark, sf_dir):
             .groupBy("reason").agg(sf.count("*").alias("n")))
 
 
-_MM_IMAGE_GOLDEN = [
-    (320, 240, 1, 127.47), (320, 496, 1, 127.55), (320, 752, 1, 127.57),
-    (320, 1008, 1, 127.55), (479, 1024, 1, 127.52), (774, 1024, 1, 127.63),
-    (832, 240, 1, 127.47), (832, 496, 1, 127.4), (905, 1024, 1, 127.51),
-    (1024, 182, 1, 127.49), (1024, 325, 1, 127.61), (1024, 435, 1, 127.53),
-    (1024, 546, 1, 127.54), (1024, 556, 1, 127.46), (1024, 697, 1, 127.52),
-    (1024, 838, 1, 127.49),
+# Frozen deterministic goldens: synth_media + FakeDecoder are seed-fixed
+# and sf-independent, so the expected aggregates are literal tables — a
+# drift in the decode/resize/feature plumbing breaks the hash match.
+# (modality, k1, k2, n, v):
+#   image — k1=out_width, k2=out_height, v=round(avg mean_intensity, 2)
+#   audio — k1=n_samples,  k2=0, two rows: avg rms (r6) and avg zc (r2)
+#   video — k1=frame_idx,  k2=0, v=round(avg mean_intensity, 2)
+_MM_FAKE_GOLDEN = [
+    ("image", w, h, n, a) for w, h, n, a in [
+        (320, 240, 1, 127.47), (320, 496, 1, 127.55), (320, 752, 1, 127.57),
+        (320, 1008, 1, 127.55), (479, 1024, 1, 127.52), (774, 1024, 1, 127.63),
+        (832, 240, 1, 127.47), (832, 496, 1, 127.4), (905, 1024, 1, 127.51),
+        (1024, 182, 1, 127.49), (1024, 325, 1, 127.61), (1024, 435, 1, 127.53),
+        (1024, 546, 1, 127.54), (1024, 556, 1, 127.46), (1024, 697, 1, 127.52),
+        (1024, 838, 1, 127.49),
+    ]
+] + [
+    ("audio_rms", 16000, 0, 16, 0.57826),
+    ("audio_zc", 16000, 0, 16, 7983.94),
+] + [
+    ("video", i, 0, n, a) for i, n, a in [
+        (0, 16, 127.5), (10, 16, 127.47), (20, 16, 127.52), (30, 12, 127.51),
+        (40, 12, 127.51), (50, 12, 127.49), (60, 8, 127.52), (70, 8, 127.54),
+        (80, 8, 127.5), (90, 4, 127.47), (100, 4, 127.4), (110, 4, 127.57),
+    ]
 ]
 
 
 @register(
-    "multimodal_image_features",
-    # frozen deterministic golden: synth_media + FakeDecoder are seed-fixed
-    # and sf-independent, so the expected aggregate is a literal table —
-    # a drift in the decode/resize/feature plumbing breaks the hash match
+    "multimodal_features",
     "SELECT * FROM (VALUES "
-    + ", ".join(f"({w}::INTEGER, {h}::INTEGER, {n}::BIGINT, {a}::DOUBLE)"
-                for w, h, n, a in _MM_IMAGE_GOLDEN)
-    + ") AS t(out_width, out_height, n, avg_intensity)",
-    "multimodal: binary payload + typed metadata → decode(stub)/resize/"
-    "feature-extract via Arrow kernel (preprocessing.py:66-126 analog)")
-def q_multimodal_image_features(spark, sf_dir):
+    + ", ".join(f"('{m}', {k1}::INTEGER, {k2}::INTEGER, {n}::BIGINT, "
+                f"{v}::DOUBLE)" for m, k1, k2, n, v in _MM_FAKE_GOLDEN)
+    + ") AS t(modality, k1, k2, n, v)",
+    "multimodal plumbing over the FakeDecoder synth corpus — tagged union "
+    "of the r02 multimodal_image_features + multimodal_audio_features + "
+    "multimodal_video_frames entries (merged to free driver 50-row slots "
+    "for the real-codec row, VERDICT r04 #4): image decode/resize/feature "
+    "Arrow kernel (preprocessing.py:66-126 analog), audio RMS/zero-crossing "
+    "kernel, video frame-sampling 1→N flatMap")
+def q_multimodal_features(spark, sf_dir):
     from br_doc_ocr_spark.ops import multimodal as mm
 
-    feats = mm.image_features(mm.synth_media(spark, n=48))
-    return (feats.groupBy("out_width", "out_height")
-            .agg(sf.count("*").alias("n"),
-                 sf.round(sf.avg("mean_intensity"), 2).alias("avg_intensity"))
-            .orderBy("out_width", "out_height"))
+    media = mm.synth_media(spark, n=48)
+    img = (mm.image_features(media)
+           .groupBy("out_width", "out_height")
+           .agg(sf.count("*").alias("n"),
+                sf.round(sf.avg("mean_intensity"), 2).alias("v"))
+           .select(sf.lit("image").alias("modality"),
+                   sf.col("out_width").alias("k1"),
+                   sf.col("out_height").alias("k2"), "n", "v"))
+    aud = (mm.audio_features(media)
+           .groupBy("n_samples")
+           .agg(sf.count("*").alias("n"),
+                sf.round(sf.avg("rms"), 6).alias("rms"),
+                sf.round(sf.avg("zero_crossings"), 2).alias("zc")))
+    aud_rms = aud.select(sf.lit("audio_rms").alias("modality"),
+                         sf.col("n_samples").alias("k1"),
+                         sf.lit(0).alias("k2"), "n", sf.col("rms").alias("v"))
+    aud_zc = aud.select(sf.lit("audio_zc").alias("modality"),
+                        sf.col("n_samples").alias("k1"),
+                        sf.lit(0).alias("k2"), "n", sf.col("zc").alias("v"))
+    vid = (mm.sample_video_frames(media, every_nth=10)
+           .groupBy("frame_idx")
+           .agg(sf.count("*").alias("n"),
+                sf.round(sf.avg("mean_intensity"), 2).alias("v"))
+           .select(sf.lit("video").alias("modality"),
+                   sf.col("frame_idx").alias("k1"),
+                   sf.lit(0).alias("k2"), "n", "v"))
+    return img.unionByName(aud_rms).unionByName(aud_zc).unionByName(vid)
+
+
+# Frozen per-media-id goldens for the REAL dependency-free codecs: the synth
+# corpora encode seeded gradients/sine-mixes to actual PNG / baseline-JFIF /
+# RIFF-PCM bytes, and the decode is bit-exact integer math (pngio/jpegio/
+# wavio), so every row is a pure function of the codec implementations —
+# any decode drift breaks the hash match. (modality, media_id, k1, k2, v):
+#   png/jpeg — k1=out_width, k2=out_height, v=round(mean_intensity, 4)
+#   wav      — k1=decoded n_samples, k2=zero_crossings, v=round(rms, 6)
+_MM_REAL_GOLDEN = [
+    ("png", i, w, h, v) for i, w, h, v in [
+        (0, 96, 64, 84.1667), (1, 384, 256, 121.1667), (2, 672, 448, 123.4649),
+        (3, 960, 640, 125.4333), (4, 1024, 682, 127.5554), (5, 96, 1024, 112.5),
+        (6, 323, 1024, 124.8226), (7, 672, 64, 119.9425), (8, 960, 256, 129.1),
+        (9, 1024, 367, 126.7182), (10, 96, 640, 122.9), (11, 384, 832, 128.2738),
+    ]
+] + [
+    ("jpeg", i, w, h, v) for i, w, h, v in [
+        (100, 96, 64, 84.1617), (101, 144, 96, 111.0483),
+        (102, 192, 128, 114.4943), (103, 240, 160, 128.3547),
+        (104, 288, 192, 120.986), (105, 96, 224, 111.1545),
+        (106, 144, 256, 122.8309), (107, 192, 64, 125.1795),
+    ]
+] + [
+    ("wav", i, n, zc, v) for i, n, zc, v in [
+        (200, 7500, 412, 0.395413), (201, 8500, 1031, 0.234064),
+        (202, 9500, 1044, 0.395144), (203, 7500, 1030, 0.209789),
+        (204, 8500, 467, 0.395269), (205, 9500, 784, 0.386553),
+        (206, 7500, 825, 0.395317), (207, 8500, 1168, 0.166179),
+    ]
+]
 
 
 @register(
-    "multimodal_audio_features",
-    # frozen deterministic golden (see multimodal_image_features)
-    "SELECT 16000::INTEGER AS n_samples, 16::BIGINT AS n, "
-    "0.57826::DOUBLE AS avg_rms, 7983.94::DOUBLE AS avg_zero_crossings",
-    "multimodal: audio payload → decode(stub)/RMS/zero-crossing/frame-energy "
-    "Arrow kernel")
-def q_multimodal_audio_features(spark, sf_dir):
-    from br_doc_ocr_spark.ops import multimodal as mm
-
-    feats = mm.audio_features(mm.synth_media(spark, n=48))
-    return (feats.groupBy("n_samples")
-            .agg(sf.count("*").alias("n"),
-                 sf.round(sf.avg("rms"), 6).alias("avg_rms"),
-                 sf.round(sf.avg("zero_crossings"), 2)
-                 .alias("avg_zero_crossings"))
-            .orderBy("n_samples"))
-
-
-_MM_FRAMES_GOLDEN = [(0, 16), (10, 16), (20, 16), (30, 12), (40, 12),
-                     (50, 12), (60, 8), (70, 8), (80, 8), (90, 4),
-                     (100, 4), (110, 4)]
-
-
-@register(
-    "multimodal_video_frames",
-    # frozen deterministic golden (see multimodal_image_features)
+    "multimodal_real_codec",
     "SELECT * FROM (VALUES "
-    + ", ".join(f"({i}::INTEGER, {n}::BIGINT)" for i, n in _MM_FRAMES_GOLDEN)
-    + ") AS t(frame_idx, n)",
-    "multimodal: video frame-sampling flatMap (1 row per sampled frame)")
-def q_multimodal_video_frames(spark, sf_dir):
+    + ", ".join(f"('{m}', {i}::BIGINT, {k1}::INTEGER, {k2}::INTEGER, "
+                f"{v}::DOUBLE)" for m, i, k1, k2, v in _MM_REAL_GOLDEN)
+    + ") AS t(modality, media_id, k1, k2, v)",
+    "multimodal REAL decode end-to-end (VERDICT r04 #4): seeded gradients "
+    "encoded to actual PNG (pngio) and baseline-JFIF 4:4:4/4:2:0 (jpegio) "
+    "bytes decoded by the format-sniffing ImageDecoder through the resize/"
+    "feature kernel, and seeded sine mixes encoded to actual RIFF/PCM bytes "
+    "(wavio) decoded by WavDecoder through the RMS/zero-crossing kernel — "
+    "per-media-id rows so a single-pixel codec drift breaks the hash")
+def q_multimodal_real_codec(spark, sf_dir):
     from br_doc_ocr_spark.ops import multimodal as mm
 
-    frames = mm.sample_video_frames(mm.synth_media(spark, n=48), every_nth=10)
-    return (frames.groupBy("frame_idx").agg(sf.count("*").alias("n"))
-            .orderBy("frame_idx"))
+    png = mm.synth_png_media(spark, n=12)
+    jpg = mm.synth_jpeg_media(spark, n=8, start_id=100)
+    img = (mm.image_features(png.unionByName(jpg),
+                             decoder=mm.ImageDecoder())
+           .select(sf.when(sf.col("media_id") < 100, "png")
+                   .otherwise("jpeg").alias("modality"),
+                   "media_id",
+                   sf.col("out_width").alias("k1"),
+                   sf.col("out_height").alias("k2"),
+                   sf.round("mean_intensity", 4).alias("v")))
+    wav = (mm.audio_features(mm.synth_wav_media(spark, n=8, start_id=200),
+                             decoder=mm.WavDecoder())
+           .select(sf.lit("wav").alias("modality"), "media_id",
+                   sf.col("n_samples").alias("k1"),
+                   sf.col("zero_crossings").alias("k2"),
+                   sf.round("rms", 6).alias("v")))
+    return img.unionByName(wav)
 
 
 # ---------------------------------------------------------------------------
@@ -1956,15 +2023,19 @@ def q_multimodal_video_frames(spark, sf_dir):
 DRIVER_RECORD_CAP = 50
 
 _DRIVER_ORDER = [
-    # new this round (r04): the round-3 flagship ops get hard driver rows
+    # new this round (r05): the REAL-codec decode paths get a hard driver
+    # row (VERDICT r04 #4) — slots freed by merging the three FakeDecoder
+    # multimodal entries into one tagged union
+    "multimodal_real_codec",
+    # new in r04: the round-3 flagship ops got hard driver rows
     # (VERDICT r03 #1) — slots freed by merging text_token_stats into
     # text_quality and fn_state_extraction into explode_digit_counts
     "redact_text_audit", "curate_drop_reasons",
-    # the 10 entries with no driver CORRECTNESS row in r02 (VERDICT r02 #1)
+    # the entries with no driver CORRECTNESS row in r02 (VERDICT r02 #1);
+    # the three multimodal_* entries merged into multimodal_features in r05
     "text_fingerprint", "eval_extraction_report", "extract_schema_guided",
     "explode_multidoc_segments", "extract_multidoc", "classify_alternatives",
-    "text_langid", "multimodal_image_features", "multimodal_audio_features",
-    "multimodal_video_frames",
+    "text_langid", "multimodal_features",
     # new in r03
     "ann_cosine_topk_int8",
     # extraction + LLM-data operators
