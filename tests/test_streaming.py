@@ -221,3 +221,75 @@ def test_stream_redaction_matches_batch_kernel(spark, stream_dirs):
                 .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
     assert "redacted_text" in got.columns
     assert got["redacted_text"].tolist() == expected["redacted_text"].tolist()
+
+
+def test_stream_media_real_codec_quarantines_corrupt_payload(spark,
+                                                             stream_dirs):
+    """One corrupt blob inside a micro-batch must NOT kill the trigger
+    (VERDICT r04 #7): the real-codec media stream with on_error='skip'
+    quarantines exactly that row, and the surviving rows are bit-identical
+    to the batch kernel over the clean corpus. Two landing files = two
+    micro-batches; the corrupt payload rides in the middle of the first."""
+    import pandas as pd
+
+    from br_doc_ocr_spark.ops import multimodal as mm
+
+    png = mm.synth_png_media(spark, n=6).toPandas()
+    jpg = mm.synth_jpeg_media(spark, n=4, start_id=100).toPandas()
+    corrupt = pd.DataFrame(
+        [(999, "image", bytearray(b"\x89PNG\r\n\x1a\nthis is not a png"),
+          {"width": 64, "height": 64, "n_frames": 1, "sample_rate": 0,
+           "format": "png"})],
+        columns=["media_id", "kind", "payload", "meta"])
+    batch1 = pd.concat([png.iloc[:3], corrupt, png.iloc[3:]],
+                       ignore_index=True)
+    spark.createDataFrame(batch1, schema=mm.MEDIA_SCHEMA_DDL) \
+        .coalesce(1).write.parquet(f"{stream_dirs['in']}/b1")
+    spark.createDataFrame(jpg, schema=mm.MEDIA_SCHEMA_DDL) \
+        .coalesce(1).write.parquet(f"{stream_dirs['in']}/b2")
+
+    q = streaming.stream_media_features(
+        spark, stream_dirs["in"], stream_dirs["out"], stream_dirs["ckpt"],
+        max_files_per_trigger=1)
+    q.awaitTermination(120)
+    assert q.exception() is None  # the poison blob did not stop the query
+
+    got = (spark.read.parquet(stream_dirs["out"]).toPandas()
+           .sort_values("media_id").reset_index(drop=True))
+    clean = pd.concat([png, jpg], ignore_index=True)
+    expected = (mm.image_features(
+        spark.createDataFrame(clean, schema=mm.MEDIA_SCHEMA_DDL),
+        decoder=mm.ImageDecoder()).toPandas()
+        .sort_values("media_id").reset_index(drop=True))
+    assert 999 not in set(got["media_id"])  # quarantined, not poisoned
+    assert len(got) == len(expected) == 10
+    for col in ("media_id", "out_width", "out_height", "phash"):
+        assert got[col].tolist() == expected[col].tolist()
+    assert got["mean_intensity"].tolist() == pytest.approx(
+        expected["mean_intensity"].tolist())
+
+
+def test_stream_media_on_error_raise_fails_the_query(spark, stream_dirs):
+    """The contract's other half: with on_error='raise' the same corrupt
+    payload DOES fail the streaming query — quarantine is an explicit
+    opt-in posture, never a silent default data loss."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from br_doc_ocr_spark.ops import multimodal as mm
+
+    import pandas as pd
+
+    corrupt = pd.DataFrame(
+        [(1, "image", bytearray(b"garbage-not-an-image"),
+          {"width": 8, "height": 8, "n_frames": 1, "sample_rate": 0,
+           "format": "png"})],
+        columns=["media_id", "kind", "payload", "meta"])
+    spark.createDataFrame(corrupt, schema=mm.MEDIA_SCHEMA_DDL) \
+        .coalesce(1).write.parquet(f"{stream_dirs['in']}/b1")
+
+    q = streaming.stream_media_features(
+        spark, stream_dirs["in"], stream_dirs["out"], stream_dirs["ckpt"],
+        on_error="raise")
+    with pytest.raises((StreamingQueryException, Py4JJavaError)):
+        q.awaitTermination(120)
