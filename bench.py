@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "text_quality", "text_langid", "text_fingerprint",
     "dataset_conversation", "ann_topk", "ann_knn_join",
     "ann_cosine_topk_int8", "curate_drop_reasons", "redact_text_audit",
+    "multimodal_real_codec",
 ]
 
 
@@ -155,6 +156,37 @@ def _kernel_single_core(n_turns: int = 20_000, reps: int = 3) -> dict:
             "runs_sec": [round(t, 3) for t in runs]}
 
 
+def _jpeg_decode_mb_s(reps: int = 3) -> dict:
+    """Single-core compressed-input throughput of the dependency-free
+    baseline-JPEG decoder (VERDICT r04 #5): encode one representative
+    512×512 noise+gradient image per subsampling mode, decode it ``reps``
+    times, report best-rep MB/s. Feeds SCALE.md's multimodal decode cost
+    model from measurement instead of guesswork."""
+    import numpy as np
+
+    from br_doc_ocr_spark.ops import jpegio
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (512, 512, 3)).astype(np.uint8)
+    x = np.arange(512, dtype=np.uint8)
+    img[:, :, 0] = x[None, :]
+    img[:, :, 1] = x[:, None]
+    out: dict = {}
+    for sub in ("4:4:4", "4:2:0"):
+        payload = jpegio.encode_jpeg(img, quality=85, subsampling=sub)
+        jpegio.decode_jpeg(payload)   # warm the Huffman LUT cache
+        best = min(_timed(lambda: jpegio.decode_jpeg(payload))
+                   for _ in range(reps))
+        out[sub] = round(len(payload) / 1e6 / best, 3)
+    return out
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def _run_extraction(spark, input_path: str, warm: bool = True,
                     reps: int = 5) -> tuple[float, int, list[float]]:
     """Best of ``reps`` warm runs (all rep times are reported alongside in
@@ -202,6 +234,7 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
     extra["kernel_single_core"] = _kernel_single_core()
+    extra["jpeg_decode_mb_s"] = _jpeg_decode_mb_s()
 
     elapsed, n_turns, runs = _run_extraction(spark, tpath)
     timings["extract_pipeline"] = round(elapsed, 3)
@@ -455,6 +488,8 @@ def main() -> None:
         compact["kernel_single_core_turns_per_sec"] = ksc["turns_per_sec"]
     if "extract_turns_per_sec" in extra:
         compact["extract_turns_per_sec"] = extra["extract_turns_per_sec"]
+    if "jpeg_decode_mb_s" in extra:
+        compact["jpeg_decode_mb_s"] = extra["jpeg_decode_mb_s"]
     sc = extra.get("scaling")
     if isinstance(sc, dict):
         compact["scaling"] = {

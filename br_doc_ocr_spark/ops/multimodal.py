@@ -514,10 +514,11 @@ def synth_jpeg_media(spark: SparkSession, n: int = 8,
     """Deterministic REAL-JPEG media table: seeded RGB gradients encoded to
     actual baseline-JFIF bytes (jpegio.encode_jpeg), alternating 4:4:4 and
     4:2:0 so the decoder's chroma-upsample path is exercised; metadata
-    matches the encoded dimensions. Sizes stay modest — the dependency-free
-    entropy decoder is a per-bit Python loop, built for correctness at
-    test scale, not throughput (the resize-above-cap path is exercised on
-    real bytes by the PNG corpus, whose decode is vectorized)."""
+    matches the encoded dimensions. Sizes stay modest because the frozen
+    catalog goldens pin these exact images (the resize-above-cap path is
+    exercised on real bytes by the PNG corpus); decode throughput is no
+    longer the constraint — the r05 LUT entropy decoder measures ~0.8 MB/s
+    of compressed input per core (bench.py `jpeg_decode_mb_s`)."""
     import pandas as pd  # noqa: F811
 
     from br_doc_ocr_spark.ops import jpegio
