@@ -147,7 +147,7 @@ def build_huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int
     return codes
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=16)
 def _decode_lut(bits_b: bytes, vals_b: bytes) -> tuple[int, ...]:
     """16-bit-lookahead Huffman LUT: ``lut[next16bits] = (value << 5) | len``
     (0 = invalid prefix). Baseline codes are ≤ 16 bits, so ONE lookup
@@ -155,13 +155,17 @@ def _decode_lut(bits_b: bytes, vals_b: bytes) -> tuple[int, ...]:
     made entropy decode ~0.01 MB/s (VERDICT r04 #5). Cached on the raw
     (BITS, HUFFVAL) bytes: real corpora overwhelmingly ship the Annex-K
     tables, so the ~65k-slot build runs once per distinct table, not once
-    per image."""
-    sym = np.zeros(65536, dtype=np.int32)
+    per image. All slots of one code share ONE int object (~0.5 MB/table
+    instead of ~2.4 MB of distinct ints), bounding the worst-case cache at
+    a few MB per Python worker."""
+    lut = [0] * 65536
     for val, (code, ln) in build_huffman_codes(
             list(bits_b), list(vals_b)).items():
+        entry = (val << 5) | ln
         base = code << (16 - ln)
-        sym[base:base + (1 << (16 - ln))] = (val << 5) | ln
-    return tuple(sym.tolist())
+        for i in range(base, base + (1 << (16 - ln))):
+            lut[i] = entry
+    return tuple(lut)
 
 
 # ---------------------------------------------------------------------------
