@@ -103,3 +103,53 @@ def range_join(points: DataFrame, intervals: DataFrame,
         (sf.col(f"_p.{point_ts}") >= sf.col(f"_i.{start_col}"))
         & (sf.col(f"_p.{point_ts}") <= sf.col(f"_i.{end_col}")))
     return joined.drop("_bucket")
+
+
+def sessionize(df: DataFrame, key_col: str = "user_id", ts_col: str = "ts",
+               gap_seconds: int = 1800,
+               tiebreak_col: str | None = None) -> DataFrame:
+    """Gap-based sessionization (an operator Spark lacks as a built-in —
+    every large-scale event/training-data pipeline needs it): rows of the
+    same ``key_col`` whose consecutive ``ts_col`` gaps are all
+    ``<= gap_seconds`` share a ``session_idx`` (0-based per key, assigned
+    in time order). A NULL timestamp can never satisfy the gap predicate,
+    so NULL-ts rows each OPEN a new session (they sort first and are
+    flagged new) rather than silently extending a neighbor.
+
+    Shuffle profile: ONE exchange keyed by ``key_col`` + a per-key ordered
+    window evaluates both the lag and the running flag-sum — the standard
+    lag→flag→cumsum formulation, entirely codegen'd column expressions.
+    A per-session aggregate downstream (``groupBy(key_col, 'session_idx')``)
+    adds only a pre-aggregated second exchange: the partial agg collapses
+    to one row per session map-side, so the second shuffle moves sessions,
+    not events. Skew: one window partition per key — an adversarial single
+    hot key needs the same salt defense as the extraction job's conv salt.
+
+    ``tiebreak_col`` makes the within-key order total when timestamps can
+    collide (e.g. ``event_id``); without one, equal-ts rows order
+    arbitrarily and ``session_idx`` is still deterministic (ties can't
+    straddle a gap boundary: a tie's lag-gap is 0) but row attribution
+    between two same-ts sessions is not.
+    """
+    from pyspark.sql import Window
+
+    if "session_idx" in df.columns or "_new_session" in df.columns:
+        raise ValueError(
+            "sessionize output columns (session_idx, _new_session) already "
+            "exist on the input frame")
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = sf.lag(ts_col).over(w)
+    # parquet reads ts as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
+    # gap is a difference, so the session-tz shift cancels exactly
+    us = lambda c: sf.unix_micros(c.cast("timestamp"))  # noqa: E731
+    new_session = sf.when(
+        prev.isNotNull()
+        & (us(sf.col(ts_col)) - us(prev) <= gap_seconds * 1_000_000),
+        sf.lit(0)).otherwise(sf.lit(1))
+    running = (Window.partitionBy(key_col).orderBy(*order)
+               .rowsBetween(Window.unboundedPreceding, 0))
+    return (df.withColumn("_new_session", new_session)
+            .withColumn("session_idx",
+                        sf.sum("_new_session").over(running) - 1)
+            .drop("_new_session"))

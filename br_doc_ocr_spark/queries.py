@@ -2009,6 +2009,48 @@ def q_multimodal_real_codec(spark, sf_dir):
     return img.unionByName(wav)
 
 
+@register(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NOT NULL
+                       AND epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           <= 1800000000
+                  THEN 0 ELSE 1 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) - 1
+                  AS BIGINT) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, session_idx, count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+    FROM sess GROUP BY user_id, session_idx
+    """,
+    "gap-based sessionization (ops/temporal.sessionize, r05 — an operator "
+    "Spark lacks as a built-in and every event/training-data pipeline "
+    "needs): 30-min-gap sessions per user via the lag→flag→cumsum window "
+    "formulation (ONE exchange keyed by user), then per-session event "
+    "count / value total / exact-microsecond duration — per-session rows "
+    "so a mis-assigned event anywhere breaks the value hash")
+def q_sessionize_events(spark, sf_dir):
+    from br_doc_ocr_spark.ops import temporal
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "value",
+                                           "event_id")
+    sess = temporal.sessionize(ev, gap_seconds=1800, tiebreak_col="event_id")
+    us = lambda c: sf.unix_micros(c.cast("timestamp"))  # noqa: E731
+    return (sess.groupBy("user_id", "session_idx")
+            .agg(sf.count("*").alias("n_events"),
+                 sf.round(sf.sum("value"), 2).alias("total_value"),
+                 (us(sf.max("ts")) - us(sf.min("ts"))).alias("duration_us")))
+
+
 # ---------------------------------------------------------------------------
 # Driver-coverage guard (VERDICT r02 #1/#7): the driver records CORRECTNESS
 # rows for only the FIRST DRIVER_RECORD_CAP entries of queries(). Round 2
@@ -2025,8 +2067,9 @@ DRIVER_RECORD_CAP = 50
 _DRIVER_ORDER = [
     # new this round (r05): the REAL-codec decode paths get a hard driver
     # row (VERDICT r04 #4) — slots freed by merging the three FakeDecoder
-    # multimodal entries into one tagged union
-    "multimodal_real_codec",
+    # multimodal entries into one tagged union — and gap-based
+    # sessionization lands in the remaining free slot
+    "multimodal_real_codec", "sessionize_events",
     # new in r04: the round-3 flagship ops got hard driver rows
     # (VERDICT r03 #1) — slots freed by merging text_token_stats into
     # text_quality and fn_state_extraction into explode_digit_counts

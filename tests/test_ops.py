@@ -897,3 +897,46 @@ def test_unicode_whitespace_is_not_punctuation(spark):
     got = {r["doc_id"]: r["punct_ratio"]
            for r in textstats.with_text_stats(docs).collect()}
     assert got[1] == got[2] == 0.0
+
+
+def test_sessionize_gap_semantics(spark):
+    """Hand-computed sessions: gap <= threshold chains, gap > threshold
+    splits, exact-boundary gap chains (<=), NULL ts opens its own session,
+    keys are independent."""
+    from datetime import datetime as dt
+
+    from br_doc_ocr_spark.ops import temporal
+
+    rows = [
+        # user 1: 0s, +10s (chain), +3600s (split), +1800s exactly (chain)
+        (1, dt(2024, 1, 1, 0, 0, 0), 10),
+        (1, dt(2024, 1, 1, 0, 0, 10), 11),
+        (1, dt(2024, 1, 1, 1, 0, 10), 12),
+        (1, dt(2024, 1, 1, 1, 30, 10), 13),
+        # user 2: single event, plus a NULL ts that must open its own session
+        (2, dt(2024, 1, 1, 5, 0, 0), 20),
+        (2, None, 21),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = {r["event_id"]: r["session_idx"] for r in temporal.sessionize(
+        df, gap_seconds=1800, tiebreak_col="event_id").collect()}
+    assert out[10] == 0 and out[11] == 0          # 10s gap chains
+    assert out[12] == 1                           # 3600s gap splits
+    assert out[13] == 1                           # exactly-1800s gap chains
+    assert out[21] == 0 and out[20] == 1          # NULL sorts first, alone
+    with pytest.raises(ValueError, match="session_idx"):
+        temporal.sessionize(temporal.sessionize(df))
+
+
+def test_sessionize_single_exchange(spark):
+    """The lag→flag→cumsum formulation must evaluate BOTH window functions
+    over one exchange keyed by user_id — a second shuffle between the lag
+    and the running sum would double the event-table traffic at scale."""
+    from br_doc_ocr_spark.ops import temporal
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "ts", "event_id")
+    plan = temporal.sessionize(
+        ev, tiebreak_col="event_id")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
