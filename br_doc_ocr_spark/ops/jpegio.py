@@ -161,6 +161,13 @@ def _decode_lut(bits_b: bytes, vals_b: bytes) -> tuple[int, ...]:
     lut = [0] * 65536
     for val, (code, ln) in build_huffman_codes(
             list(bits_b), list(vals_b)).items():
+        if code >= (1 << ln):
+            # an over-subscribed DHT (more codes than the canonical space
+            # holds) must be a named ValueError, not an IndexError escaping
+            # the kernels' row-level quarantine (review r05)
+            raise ValueError(
+                "JPEG: over-subscribed Huffman table (DHT declares more "
+                "codes than the code space holds)")
         entry = (val << 5) | ln
         base = code << (16 - ln)
         for i in range(base, base + (1 << (16 - ln))):
@@ -212,14 +219,17 @@ def _split_entropy_segments(
 _TRUNCATED = ("JPEG: truncated entropy-coded data (payload ends mid-scan)")
 
 
-def _decode_mcus(seg: bytes, n_mcu: int, mcu_template, pred: list[int]) -> None:
-    """Decode ``n_mcu`` MCUs from one un-stuffed restart segment, appending
-    each block's 64 zigzag-order coefficients (a plain Python list) to its
-    component's collector. Hot loop: a 40-bit local accumulator refilled
-    bytewise and ONE LUT lookup per Huffman symbol — no per-bit calls.
-    Zero-padding lets the final symbols read ahead safely; the consumed-bits
-    check afterwards rejects any decode that needed phantom bits (that IS
-    the truncation signal)."""
+def _decode_mcus(seg: bytes, n_mcu: int, mcu_template, pred: list[int],
+                 outs: list, counts: list[int]) -> None:
+    """Decode ``n_mcu`` MCUs from one un-stuffed restart segment, writing
+    each block's 64 zigzag-order coefficients into its component's
+    PREALLOCATED ``(n_blocks, 64)`` int64 array (``outs[slot]``, cursor
+    ``counts[slot]``) — buffering Python lists-of-lists instead tripled
+    peak memory on large frames (review r05). Hot loop: a 40-bit local
+    accumulator refilled bytewise and ONE LUT lookup per Huffman symbol —
+    no per-bit calls. Zero-padding lets the final symbols read ahead
+    safely; the consumed-bits check afterwards rejects any decode that
+    needed phantom bits (that IS the truncation signal)."""
     pad = 16
     buf = seg + b"\x00" * pad
     n = len(buf)
@@ -227,8 +237,13 @@ def _decode_mcus(seg: bytes, n_mcu: int, mcu_template, pred: list[int]) -> None:
     acc = 0
     nb = 0
     p = 0
+    # per-slot staging: blocks land in small Python lists and flush to the
+    # preallocated arrays in 256-block bulk assignments — per-block numpy
+    # row writes cost ~25% of 4:2:0 throughput, whole-image lists triple
+    # peak memory on large frames; this bounds staging at 256 blocks/slot
+    stage: list[list[list[int]]] = [[] for _ in outs]
     for _ in range(n_mcu):
-        for slot, dlut, alut, out in mcu_template:
+        for slot, dlut, alut in mcu_template:
             blk = [0] * 64
             # refill to ≥31 bits: worst step is a 16-bit code + 15 mag bits
             while nb < 31:
@@ -279,7 +294,18 @@ def _decode_mcus(seg: bytes, n_mcu: int, mcu_template, pred: list[int]) -> None:
                     mag += 1 - (1 << s)
                 blk[k] = mag
                 k += 1
-            out.append(blk)
+            st = stage[slot]
+            st.append(blk)
+            if len(st) == 256:
+                i = counts[slot]
+                outs[slot][i:i + 256] = st
+                counts[slot] = i + 256
+                st.clear()
+    for slot, st in enumerate(stage):
+        if st:
+            i = counts[slot]
+            outs[slot][i:i + len(st)] = st
+            counts[slot] = i + len(st)
     if 8 * p - nb > real_bits:
         # every real bit was exhausted before the MCU quota — the decode
         # "completed" only by consuming zero padding
@@ -459,17 +485,20 @@ def _decode_scan(data, pos, frame, scan_sel, qtables, dc_tables, ac_tables,
 
     segments, rst_markers, end = _split_entropy_segments(data, pos)
 
-    # per-MCU block template in scan order; one coefficient collector per
-    # component (blocks land in MCU order — the reshape below re-rasters)
-    collectors: list[list[list[int]]] = []
+    # per-MCU block template in scan order; one preallocated (n_blocks, 64)
+    # int64 coefficient array per component (blocks land in MCU order — the
+    # reshape below re-rasters); int64 so a corrupt stream's runaway DC
+    # predictor can never overflow-raise outside the ValueError contract
+    outs: list[np.ndarray] = []
+    counts: list[int] = []
     mcu_template = []
     for slot, (cid, hi, vi, _tq) in enumerate(comps):
         dlut = dc_tables[scan_sel[cid][0]]
         alut = ac_tables[scan_sel[cid][1]]
-        out: list[list[int]] = []
-        collectors.append(out)
+        outs.append(np.zeros((n_mcus * hi * vi, 64), dtype=np.int64))
+        counts.append(0)
         for _ in range(hi * vi):
-            mcu_template.append((slot, dlut, alut, out))
+            mcu_template.append((slot, dlut, alut))
 
     if restart_interval:
         n_segs = -(-n_mcus // restart_interval)
@@ -481,20 +510,22 @@ def _decode_scan(data, pos, frame, scan_sel, qtables, dc_tables, ac_tables,
             pred = [0] * len(comps)   # DC predictors reset per interval
             _decode_mcus(segments[i],
                          min(restart_interval, n_mcus - i * restart_interval),
-                         mcu_template, pred)
+                         mcu_template, pred, outs, counts)
     else:
         if rst_markers:
             # restart markers are only legal at DRI intervals
             raise ValueError("JPEG: unexpected restart marker inside an MCU")
-        _decode_mcus(segments[0], n_mcus, mcu_template, [0] * len(comps))
+        _decode_mcus(segments[0], n_mcus, mcu_template, [0] * len(comps),
+                     outs, counts)
 
     # batched spatial reconstruction per component: de-zigzag, dequantize
     # and IDCT every block at once, then re-raster the MCU-ordered block
     # stream into the plane — all C-side numpy, no per-block Python matmul
     full = []
     for slot, (cid, hi, vi, tq) in enumerate(comps):
-        zz = np.array(collectors[slot], dtype=np.float64)   # (n_blocks, 64)
-        raster = np.empty_like(zz)
+        zz = outs[slot]                                     # (n_blocks, 64)
+        outs[slot] = None                                   # free early
+        raster = np.empty(zz.shape, dtype=np.float64)
         raster[:, ZIGZAG] = zz
         dq = (raster * qtables[tq].reshape(-1)[None, :]).reshape(-1, 8, 8)
         spatial = _DCT.T @ dq @ _DCT                        # batched 2-D IDCT

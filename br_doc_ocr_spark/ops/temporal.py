@@ -140,13 +140,15 @@ def sessionize(df: DataFrame, key_col: str = "user_id", ts_col: str = "ts",
     order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     w = Window.partitionBy(key_col).orderBy(*order)
     prev = sf.lag(ts_col).over(w)
-    # parquet reads ts as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
-    # gap is a difference, so the session-tz shift cancels exactly
-    us = lambda c: sf.unix_micros(c.cast("timestamp"))  # noqa: E731
-    new_session = sf.when(
-        prev.isNotNull()
-        & (us(sf.col(ts_col)) - us(prev) <= gap_seconds * 1_000_000),
-        sf.lit(0)).otherwise(sf.lit(1))
+    # timestamp subtraction → day-time interval, exact for both TIMESTAMP
+    # (instant difference) and TIMESTAMP_NTZ (wall-clock difference) — a
+    # cast-to-TIMESTAMP + unix_micros detour would shift NTZ values through
+    # the session timezone, mis-sizing gaps that straddle a DST transition
+    # (review r05)
+    gap_ok = ((sf.col(ts_col) - prev)
+              <= sf.expr(f"INTERVAL {int(gap_seconds)} SECOND"))
+    new_session = sf.when(prev.isNotNull() & gap_ok,
+                          sf.lit(0)).otherwise(sf.lit(1))
     running = (Window.partitionBy(key_col).orderBy(*order)
                .rowsBetween(Window.unboundedPreceding, 0))
     return (df.withColumn("_new_session", new_session)

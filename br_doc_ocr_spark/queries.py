@@ -44,6 +44,16 @@ _SQL_TOKENS = ("string_split(regexp_replace(lower(text), "
                "'[^\\p{L}\\p{N}]+', ' ', 'g'), ' ')")
 
 
+def _unix_micros_utc(c):
+    """unix_micros over a possibly-NTZ column (parquet reads ts as
+    TIMESTAMP_NTZ; unix_micros needs TIMESTAMP). Callers only ever use
+    DIFFERENCES of this value, where the session-tz shift cancels exactly
+    under the engine's fixed UTC session timezone — do NOT use it for
+    absolute instants, and do NOT reuse it for gap semantics in operators
+    (ops/temporal.sessionize compares intervals instead, review r05)."""
+    return sf.unix_micros(c.cast("timestamp"))
+
+
 def _sql_stopword_hits(words) -> str:
     """DuckDB rendering of textstats.stopword_hits: ONE multi-way-IN
     token-equality filter for the Latin words over the collapsed-separator
@@ -1436,9 +1446,7 @@ def q_temporal_joins(spark, sf_dir):
     # values are all NULL still matched (review r04 — the oracle gates on
     # r.ts IS NOT NULL)
     matched = sf.col("ts_asof").isNotNull()
-    # parquet reads ts as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the
-    # gap is a difference, so the session-tz shift cancels exactly
-    us = lambda c: sf.unix_micros(sf.col(c).cast("timestamp"))  # noqa: E731
+    us = lambda c: _unix_micros_utc(sf.col(c))  # noqa: E731
     gap = sf.when(matched, us("ts") - us("ts_asof")).otherwise(sf.lit(0))
     asof = (joined.groupBy((sf.col("user_id") % 10).alias("cohort"))
             .agg(sf.count("*").alias("n_purchases"),
@@ -2019,10 +2027,14 @@ def q_multimodal_real_codec(spark, sf_dir):
                            <= 1800000000
                   THEN 0 ELSE 1 END AS new_s
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      -- NULLS FIRST matches Spark's ASC default (DuckDB defaults NULLS
+      -- LAST): a NULL-ts event must open session 0, not shift every other
+      -- session index (latent-only — the fixtures have no NULL ts)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     ), sess AS (
       SELECT user_id, ts, value,
-             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             CAST(sum(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY ts NULLS FIRST, event_id
                                    ROWS UNBOUNDED PRECEDING) - 1
                   AS BIGINT) AS session_idx
       FROM flagged
@@ -2044,7 +2056,7 @@ def q_sessionize_events(spark, sf_dir):
     ev = t(spark, sf_dir, "events").select("user_id", "ts", "value",
                                            "event_id")
     sess = temporal.sessionize(ev, gap_seconds=1800, tiebreak_col="event_id")
-    us = lambda c: sf.unix_micros(c.cast("timestamp"))  # noqa: E731
+    us = _unix_micros_utc
     return (sess.groupBy("user_id", "session_idx")
             .agg(sf.count("*").alias("n_events"),
                  sf.round(sf.sum("value"), 2).alias("total_value"),

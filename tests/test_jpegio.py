@@ -385,3 +385,25 @@ def test_image_features_on_error_skip_quarantines_oserror(spark):
     assert sorted(r["media_id"] for r in good) == [0, 3]
     with pytest.raises(Exception, match="cannot identify image file"):
         mm.image_features(mixed, decoder=OsErrorDecoder()).collect()
+
+
+def test_oversubscribed_dht_raises_value_error():
+    """A DHT declaring more codes than the canonical space holds (e.g. 3
+    one-bit codes) must raise the named ValueError — the r05 LUT build
+    over-indexed its table and raised IndexError, which escapes the image
+    kernels' (ValueError, OSError) row quarantine and would let one corrupt
+    blob kill a streaming trigger (review r05)."""
+    img = _gradient_rgb(16, 16)
+    payload = bytearray(jpegio.encode_jpeg(img, quality=90))
+    dht = payload.find(b"\xff\xc4")
+    assert dht > 0
+    # BITS[1..16] live 5 bytes past the marker (marker 2 + length 2 +
+    # tc/th 1). Keep sum(BITS) constant (else the segment-length check
+    # fires first): Annex-K DC luma is (0, 1, 5, ...) — rewrite to
+    # (3, 1, 2, ...): 3 one-bit codes is canonically impossible (space
+    # holds 2)
+    assert payload[dht + 5:dht + 8] == bytes([0, 1, 5])
+    payload[dht + 5] = 3
+    payload[dht + 7] = 2
+    with pytest.raises(ValueError, match="over-subscribed"):
+        jpegio.decode_jpeg(bytes(payload))
