@@ -385,17 +385,26 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     spread_c = (1 << 45) | (1 << 30) | (1 << 15) | 1
     lane_m = (1 << 48) | (1 << 32) | (1 << 16) | 1
 
-    # weighting by _cnt is carry-free: the masked spread holds 0/1 at lane
-    # positions {0,16,32,48}, and _cnt ≤ 32767 (bounded by the cap guard)
-    # keeps each product term within its 16-bit lane and the whole packed
-    # word below 2^63 (ANSI-safe)
+    # weighting by _cnt is carry-free while the doc is under capacity: the
+    # masked spread holds 0/1 at lane positions {0,16,32,48}, and a salt
+    # group of ≤ 32767 tokens keeps each product term within its 16-bit
+    # lane and every packed sum below 2^63. OVER capacity the arithmetic
+    # itself can overflow BEFORE the _ng guard below ever evaluates —
+    # under Spark 4's default ANSI mode that raised a generic
+    # ARITHMETIC_OVERFLOW instead of the named error (review r05: a
+    # single token repeated ≥ 32768× in one salt group overflows the
+    # product; ≥ 32768 distinct set-bit tokens overflow the lane sum).
+    # try_multiply/try_sum turn both into NULL lanes instead; and any
+    # overflow implies the salt group holds ≥ 32768 tokens, which under
+    # the exact round-robin position salting implies _n > cap — so the
+    # named raise_error guard always fires for exactly those documents.
     lanes16 = pre.selectExpr(
         "id", "_salt", "_cnt",
-        *[f"((shiftrightunsigned(_h, {4 * j}) & 15) * {spread_c}L"
-          f" & {lane_m}L) * _cnt AS _p{j}" for j in range(16)])
+        *[f"try_multiply((shiftrightunsigned(_h, {4 * j}) & 15)"
+          f" * {spread_c}L & {lane_m}L, _cnt) AS _p{j}" for j in range(16)])
     partial = lanes16.groupBy("id", "_salt").agg(
         sf.expr("sum(_cnt) AS _n"),
-        *[sf.expr(f"sum(_p{j}) AS _p{j}") for j in range(16)])
+        *[sf.expr(f"try_sum(_p{j}) AS _p{j}") for j in range(16)])
 
     def unpacked(i: int) -> str:
         j, lane = divmod(i, 4)

@@ -504,6 +504,14 @@ def _decode_scan(data, pos, frame, scan_sel, qtables, dc_tables, ac_tables,
         n_segs = -(-n_mcus // restart_interval)
         if len(segments) < n_segs:
             raise ValueError(_TRUNCATED)
+        if len(segments) > n_segs:
+            # appended garbage: more restart segments than the frame's MCU
+            # count can hold — the surplus would be silently skipped (and
+            # its markers never validated), accepting a corrupt stream as
+            # a clean decode (review r05)
+            raise ValueError(
+                "JPEG: trailing entropy segments beyond the frame's MCU "
+                "count — corrupt or non-baseline stream")
         for i in range(n_segs):
             if i and rst_markers[i - 1] != 0xD0 + ((i - 1) % 8):
                 raise ValueError("JPEG: restart marker out of order")

@@ -108,6 +108,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise _err(f"data chunk ({len(data)} bytes) is not a whole number "
                    f"of {frame_bytes}-byte frames")
     n_samples = len(data) // frame_bytes
+    if n_samples == 0:
+        # A zero-byte data chunk is structurally parseable but carries no
+        # signal: downstream feature kernels would compute mean([]) = NaN
+        # and silently poison aggregates instead of quarantining the row.
+        # Refuse it under the same named-error contract as corruption.
+        raise _err("data chunk contains zero samples")
 
     if tag == _WAVE_FORMAT_IEEE_FLOAT:
         raw = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8")

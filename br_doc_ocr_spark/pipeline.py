@@ -570,7 +570,12 @@ def compact_parquet(spark: SparkSession, input_path: str, output_path: str,
     if not listing:
         # zero parquet files: reading the (empty) output back for the rows
         # count would fail parquet schema inference with AnalysisException —
-        # return empty stats instead (ADVICE r04)
+        # return empty stats instead (ADVICE r04). Still CREATE output_path
+        # (like every non-empty branch does): rewrite-then-swap callers
+        # rename/list it unconditionally, and a missing directory would
+        # fail them only on the empty-table edge (review r05)
+        out_hp = _hpath(output_path)
+        out_hp.getFileSystem(conf).mkdirs(out_hp)
         return {"files_before": 0, "files_after": 0, "bytes": 0,
                 "rewritten_files": 0, "rewritten_bytes": 0,
                 "copied_files": 0, "rows": 0}

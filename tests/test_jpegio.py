@@ -129,6 +129,19 @@ def test_restart_markers_roundtrip_and_appear_in_stream():
     assert float(err.mean()) < 3.0
 
 
+def test_trailing_garbage_restart_segment_raises():
+    """Appended entropy segments beyond the frame's MCU count must raise,
+    not decode 'successfully' while silently skipping the surplus (review
+    r05: a bogus `FF D3 ...` block injected before EOI used to return
+    pixels identical to the clean file)."""
+    img = _gradient_rgb(32, 32, seed=3)
+    payload = jpegio.encode_jpeg(img, quality=90, restart_interval=2)
+    assert payload[-2:] == b"\xff\xd9"
+    corrupted = payload[:-2] + b"\xff\xd3\x12\x34\x56" + payload[-2:]
+    with pytest.raises(ValueError, match="trailing entropy segments"):
+        jpegio.decode_jpeg(corrupted)
+
+
 def test_quality_ladder_orders_sizes_and_errors():
     img = _gradient_rgb(64, 64, seed=1)
     sizes, errs = [], []
@@ -317,12 +330,14 @@ def test_roundtrip_total_over_random_images(h, w, quality, sub, rst, seed):
                            restart_interval=rst))
     assert out.shape == img.shape
     err = float(np.abs(out.astype(int) - img.astype(int)).mean())
-    # tiny images have too few pixels for the error to average out — a
-    # saturated-noise block under 4:2:0 chroma decimation can mean >50
-    # (hypothesis found 51.5 at 4x16/q70/4:2:0 and 48.3 at 10x26/q70/4:2:0 —
-    # the latter bit-identical on the pre-LUT decoder, a bound issue, not a
-    # decode drift — so the loose bound applies up to 400 px)
-    assert err < (48.0 if h * w >= 400 else 100.0)
+    # calibrated empirically: uniform noise at q70 + 4:2:0 (the worst corner
+    # of the strategy) CONVERGES to mean-abs error ~47-50 regardless of
+    # size — chroma decimation alone costs that much on noise (measured
+    # min/max over 5 seeds: 47.5-49.8 at 20x20, 46.7-47.9 at 128x128).
+    # Tiny images additionally lack pixels for the error to average out
+    # (hypothesis found 51.5 at 4x16/q70/4:2:0), hence the looser bound
+    # below 400 px. The property under test is totality, not fidelity.
+    assert err < (55.0 if h * w >= 400 else 100.0)
 
 
 @settings(max_examples=60, deadline=None)

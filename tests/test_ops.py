@@ -131,6 +131,16 @@ def test_simhash_overflow_guard_raises_over_capacity(spark):
     with pytest.raises(PySparkException, match="simhash vote lanes overflow"):
         dedup.simhash_signatures(df, salt_buckets=1).collect()
 
+    # the single-hot-token shape: ONE distinct token repeated past the lane
+    # cap makes the _cnt-weighted product itself overflow int64 — under
+    # ANSI that used to raise a generic ARITHMETIC_OVERFLOW before the
+    # named guard could evaluate (review r05); try_multiply/try_sum must
+    # route it to the same named error as the distinct-token shape
+    hot = "spam " * 32768
+    df_hot = spark.createDataFrame([(7, hot)], "doc_id long, text string")
+    with pytest.raises(PySparkException, match="simhash vote lanes overflow"):
+        dedup.simhash_signatures(df_hot, salt_buckets=1).collect()
+
     under = " ".join(f"t{i % 97}" for i in range(32767))
     df_ok = spark.createDataFrame([(0, under)], "doc_id long, text string")
     [row] = dedup.simhash_signatures(df_ok, salt_buckets=1).collect()

@@ -396,6 +396,9 @@ def test_compact_parquet_empty_input_returns_empty_stats(spark, tmp_path):
     assert stats == {"files_before": 0, "files_after": 0, "bytes": 0,
                      "rewritten_files": 0, "rewritten_bytes": 0,
                      "copied_files": 0, "rows": 0}
+    # rewrite-then-swap callers rename/list the output unconditionally —
+    # the empty-table edge must still create it (review r05)
+    assert (tmp_path / "out").is_dir()
 
 
 def _iceberg_available(spark) -> bool:

@@ -293,3 +293,52 @@ def test_stream_media_on_error_raise_fails_the_query(spark, stream_dirs):
         on_error="raise")
     with pytest.raises((StreamingQueryException, Py4JJavaError)):
         q.awaitTermination(120)
+
+
+def test_stream_media_audio_kind_reaches_sink(spark, stream_dirs):
+    """kind='audio' routes real RIFF/WAVE payloads through WavDecoder to
+    the streaming sink (review r05: the image-only routing made the audio
+    family unreachable under streaming and counted its rows as quarantine
+    drops). Mixed landing zone: image rows are excluded by the explicit
+    kind predicate — NOT quarantined — and one corrupt WAV IS quarantined
+    without killing the trigger; survivors match the batch kernel."""
+    import pandas as pd
+
+    from br_doc_ocr_spark.ops import multimodal as mm
+
+    wav = mm.synth_wav_media(spark, n=4, start_id=300).toPandas()
+    png = mm.synth_png_media(spark, n=2).toPandas()
+    corrupt = pd.DataFrame(
+        [(999, "audio", bytearray(b"RIFF\x00\x00\x00\x00WAVEgarbage"),
+          {"width": 0, "height": 0, "n_frames": 1, "sample_rate": 8000,
+           "format": "wav"})],
+        columns=["media_id", "kind", "payload", "meta"])
+    mixed = pd.concat([wav.iloc[:2], png, corrupt, wav.iloc[2:]],
+                      ignore_index=True)
+    spark.createDataFrame(mixed, schema=mm.MEDIA_SCHEMA_DDL) \
+        .coalesce(1).write.parquet(f"{stream_dirs['in']}/b1")
+
+    q = streaming.stream_media_features(
+        spark, stream_dirs["in"], stream_dirs["out"], stream_dirs["ckpt"],
+        kind="audio")
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    got = (spark.read.parquet(stream_dirs["out"]).toPandas()
+           .sort_values("media_id").reset_index(drop=True))
+    expected = (mm.audio_features(
+        spark.createDataFrame(wav, schema=mm.MEDIA_SCHEMA_DDL),
+        decoder=mm.WavDecoder()).toPandas()
+        .sort_values("media_id").reset_index(drop=True))
+    assert got["media_id"].tolist() == expected["media_id"].tolist()
+    assert 999 not in set(got["media_id"])          # corrupt WAV quarantined
+    assert len(got) == len(wav)                     # image rows excluded, not lost
+    assert got["n_samples"].tolist() == expected["n_samples"].tolist()
+    assert got["rms"].tolist() == pytest.approx(expected["rms"].tolist())
+
+
+def test_stream_media_rejects_unknown_kind(spark, stream_dirs):
+    with pytest.raises(ValueError, match="kind must be 'image' or 'audio'"):
+        streaming.stream_media_features(
+            spark, stream_dirs["in"], stream_dirs["out"],
+            stream_dirs["ckpt"], kind="video")

@@ -129,6 +129,15 @@ def test_ragged_data_chunk_raises():
         wavio.decode_wav(_wav(1, 1, 8000, 16, b"\x00\x00\x00"))
 
 
+def test_zero_sample_data_chunk_raises():
+    """A structurally valid WAV with a 0-byte data chunk must raise the
+    named error: downstream kernels would otherwise compute mean([]) = NaN
+    rms/frame_energy and silently poison aggregates instead of hitting the
+    row quarantine (review r05)."""
+    with pytest.raises(ValueError, match="zero samples"):
+        wavio.decode_wav(_wav(1, 1, 8000, 16, b""))
+
+
 def test_encode_rejects_non_int16():
     with pytest.raises(ValueError, match="int16"):
         wavio.encode_wav(np.zeros(4, dtype=np.float32), 8000)
