@@ -464,6 +464,16 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
             "guarantee (complete only for <= 3); raise the chunk count "
             "instead of silently missing pairs")
     sh = simhash_signatures(df, id_col=id_col, text_col=text_col)
+    # materialize the signature table ONCE before the self-join: without
+    # this the broadcast/build side replans the whole three-stage vote
+    # aggregation from the raw text (the left side is not an Exchange, so
+    # ReuseExchange can never kick in) — the most expensive stage of the
+    # query ran twice (r05 profile: ~1.5 s → ~1.25 s at sf0.1). The
+    # signature table is 16 bytes/doc, the cheapest thing in the query to
+    # hold. Same trade as connected_components: localCheckpoint is not
+    # fault-tolerant — on a real cluster prefer setCheckpointDir +
+    # .checkpoint() for lineage truncation that survives executor loss.
+    sh = sh.localCheckpoint(eager=False)
     # SQL-string chunk explode: identical plan to the Column-composed form
     # (struct array → explode), ~70 fewer py4j round trips per query build
     chunk_structs = ", ".join(
