@@ -278,31 +278,13 @@ def minhash_near_duplicates(
 # pair join in DuckDB and the driver value-hashes both sides.
 # ---------------------------------------------------------------------------
 
-def simhash_tokens(text: Column) -> Column:
-    """Whitespace token multiset of lowered text (Python ``s.lower().split()``
-    semantics: any whitespace run separates, no empty tokens)."""
-    toks = sf.split(sf.trim(sf.lower(text)), r"\s+")
-    return sf.filter(toks, lambda x: x != "")
-
-
-def _token_hash64(tok: Column) -> Column:
-    """Signed 64-bit token hash: Spark's native ``xxhash64`` (XXH64, seed
-    42, UTF-8 bytes).
-
-    An earlier revision derived the hash from ``md5`` hex digits for oracle
-    parity; that crypto hash + hex-string fold was ~70% of the whole SimHash
-    operator's cost at sf0.1. The cross-engine oracle now reuses the
-    bit-exact SQL XXH64 rendering built for MinHash
-    (``duckdb_xxh64.xxh64_string_ctes``), so the Spark side gets the native
-    codegen primitive — same one-hash-per-token value contract, ~3× less
-    scan cost.
-
-    NULL stays NULL: Spark's ``xxhash64`` SKIPS null arguments and returns
-    the bare seed (42) — without the guard a tokenless document's
-    ``posexplode_outer`` null-token row would vote the bits of 42 into its
-    signature instead of falling through to signature 0."""
-    return sf.when(tok.isNull(), sf.lit(None).cast("long")).otherwise(
-        sf.xxhash64(tok))
+def _bq(name: str) -> str:
+    """Backtick-quote a column name for splicing into a SQL string
+    (embedded backticks doubled, per Spark identifier quoting). The
+    SQL-string query builds below take caller-supplied column names —
+    unquoted interpolation broke names with spaces/reserved words that the
+    Column API handled, and spliced arbitrary SQL verbatim (review r05)."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
@@ -353,13 +335,24 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     # group's vote total — and with it every packed lane sum — at 32767,
     # under both the 16-bit lane width and the ANSI signed-long ceiling
     cap = salt_buckets * 32767
-    # SQL-string rendering of simhash_tokens + _token_hash64 (same
-    # expressions, one py4j call per select instead of ~40 — query build
-    # time is part of every bench rep, r05 profile)
+    # Tokenizer + hash as ONE SQL string per select (one py4j call instead
+    # of ~40 — query build time is part of every bench rep, r05 profile):
+    # - tokens: whitespace multiset of lowered text, Python
+    #   ``s.lower().split()`` semantics (any whitespace run separates, no
+    #   empty tokens);
+    # - hash: Spark's native xxhash64 (XXH64 seed 42, UTF-8 bytes). An
+    #   earlier revision used md5 hex digits for oracle parity; that crypto
+    #   hash + hex fold was ~70% of the whole operator's cost at sf0.1 —
+    #   the DuckDB oracle now reuses the bit-exact SQL XXH64 rendering
+    #   built for MinHash (``duckdb_xxh64.xxh64_string_ctes``);
+    # - NULL stays NULL: bare xxhash64 SKIPS null args and returns the
+    #   seed (42) — without the CASE guard a tokenless document's
+    #   posexplode_outer null-token row would vote the bits of 42 into its
+    #   signature instead of falling through to signature 0.
     toks = df.selectExpr(
-        f"{id_col} AS id",
+        f"{_bq(id_col)} AS id",
         "posexplode_outer(filter(split(trim(lower("
-        f"{text_col})), '\\\\s+'), x -> x != '')) AS (_pos, _tok)")
+        f"{_bq(text_col)})), '\\\\s+'), x -> x != '')) AS (_pos, _tok)")
     h = toks.selectExpr(
         "id", f"pmod(coalesce(_pos, 0), {salt_buckets}) AS _salt",
         "CASE WHEN _tok IS NULL THEN CAST(NULL AS BIGINT) "
@@ -433,7 +426,7 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
         f"{'(-9223372036854775807L - 1L)' if i == 63 else f'{1 << i}L'}"
         f" ELSE 0L END AS BIGINT)"
         for i in range(64))
-    return guarded.selectExpr("id", f"({pack}) AS {out_col}")
+    return guarded.selectExpr("id", f"({pack}) AS {_bq(out_col)}")
 
 
 def with_simhash(df: DataFrame, text_col: str = "text",

@@ -263,7 +263,12 @@ def _decode_mcus(seg: bytes, n_mcu: int, mcu_template, pred: list[int],
                 mag = (acc >> (nb - t)) & ((1 << t) - 1)
                 nb -= t
                 if mag < (1 << (t - 1)):
-                    mag += 1 - (1 << t)   # EXTEND (T.81 F.2.2.1)
+                    # EXTEND (T.81 F.2.2.1), deliberately inlined here AND
+                    # in the AC path below (a helper call per coefficient
+                    # is measurable in this loop); both copies are pinned
+                    # by the roundtrip/golden tests, which decode streams
+                    # full of negative DC diffs and AC coefficients
+                    mag += 1 - (1 << t)
                 pred[slot] += mag
             blk[0] = pred[slot]
             k = 1
@@ -310,16 +315,17 @@ def _decode_mcus(seg: bytes, n_mcu: int, mcu_template, pred: list[int],
         # every real bit was exhausted before the MCU quota — the decode
         # "completed" only by consuming zero padding
         raise ValueError(_TRUNCATED)
-
-
-def _extend(value: int, magnitude: int) -> int:
-    """T.81 F.2.2.1 EXTEND: map a magnitude-category bit pattern to its
-    signed value."""
-    if magnitude == 0:
-        return 0
-    if value < (1 << (magnitude - 1)):
-        return value - (1 << magnitude) + 1
-    return value
+    if real_bits - (8 * p - nb) >= 8:
+        # the segment continues past the final MCU by a full byte or more:
+        # a spec-legal encoder pads only to the next byte boundary (< 8
+        # bits), so whole unread bytes are appended garbage that a count-
+        # only check never looks at — silently accepting a corrupt stream
+        # as a clean decode (review r05: garbage injected before EOI, or
+        # inside the last restart segment, used to return pixels identical
+        # to the clean file)
+        raise ValueError(
+            "JPEG: entropy data continues past the final MCU — corrupt "
+            "or non-baseline stream")
 
 
 # ---------------------------------------------------------------------------

@@ -117,6 +117,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
     if tag == _WAVE_FORMAT_IEEE_FLOAT:
         raw = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8")
+        if not np.isfinite(raw).all():
+            # NaN/Inf samples are structurally decodable but poison every
+            # downstream feature (rms/frame_energy go NaN) without ever
+            # hitting the row quarantine — the same silent-poisoning mode
+            # the zero-sample guard refuses. Integer PCM cannot encode
+            # non-finite values, so only this path needs the check.
+            raise _err("IEEE-float data chunk contains non-finite samples")
         wave = raw.astype(np.float32)
     elif bits == 8:
         raw = np.frombuffer(data, dtype=np.uint8)

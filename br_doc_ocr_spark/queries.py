@@ -1931,17 +1931,20 @@ def q_multimodal_features(spark, sf_dir):
            .select(sf.lit("image").alias("modality"),
                    sf.col("out_width").alias("k1"),
                    sf.col("out_height").alias("k2"), "n", "v"))
+    # ONE aggregate then a stack() unpivot into the rms/zc rows: feeding
+    # the aggregate into two union branches planned and executed the audio
+    # decode kernel + aggregation twice (two MapInPandas subtrees, zero
+    # reuse — review r05); the generator row-multiplies the final tiny
+    # aggregate instead, decoding each payload once
     aud = (mm.audio_features(media)
            .groupBy("n_samples")
            .agg(sf.count("*").alias("n"),
                 sf.round(sf.avg("rms"), 6).alias("rms"),
-                sf.round(sf.avg("zero_crossings"), 2).alias("zc")))
-    aud_rms = aud.select(sf.lit("audio_rms").alias("modality"),
-                         sf.col("n_samples").alias("k1"),
-                         sf.lit(0).alias("k2"), "n", sf.col("rms").alias("v"))
-    aud_zc = aud.select(sf.lit("audio_zc").alias("modality"),
-                        sf.col("n_samples").alias("k1"),
-                        sf.lit(0).alias("k2"), "n", sf.col("zc").alias("v"))
+                sf.round(sf.avg("zero_crossings"), 2).alias("zc"))
+           .selectExpr(
+               "stack(2, 'audio_rms', rms, 'audio_zc', zc) AS (modality, v)",
+               "n_samples AS k1", "0 AS k2", "n")
+           .select("modality", "k1", "k2", "n", "v"))
     vid = (mm.sample_video_frames(media, every_nth=10)
            .groupBy("frame_idx")
            .agg(sf.count("*").alias("n"),
@@ -1949,7 +1952,7 @@ def q_multimodal_features(spark, sf_dir):
            .select(sf.lit("video").alias("modality"),
                    sf.col("frame_idx").alias("k1"),
                    sf.lit(0).alias("k2"), "n", "v"))
-    return img.unionByName(aud_rms).unionByName(aud_zc).unionByName(vid)
+    return img.unionByName(aud).unionByName(vid)
 
 
 # Frozen per-media-id goldens for the REAL dependency-free codecs: the synth

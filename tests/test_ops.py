@@ -147,6 +147,20 @@ def test_simhash_overflow_guard_raises_over_capacity(spark):
     assert row["simhash"] == _simhash64_py(under)
 
 
+def test_simhash_quotes_caller_column_names(spark):
+    """The SQL-string query build must backtick-quote caller-supplied
+    column names: unquoted interpolation broke names with spaces/reserved
+    words that the Column API handled (review r05)."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma")],
+        "`order` long, `text value` string")
+    [row] = dedup.simhash_signatures(
+        df, id_col="order", text_col="text value", out_col="sim hash"
+    ).collect()
+    assert row["id"] == 1
+    assert row["sim hash"] == _simhash64_py("alpha beta gamma")
+
+
 def test_simhash_is_locality_sensitive():
     a = _simhash64_py("the quick brown fox jumps over the lazy dog")
     b = _simhash64_py("the quick brown fox jumps over the lazy cat")

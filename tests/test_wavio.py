@@ -129,6 +129,20 @@ def test_ragged_data_chunk_raises():
         wavio.decode_wav(_wav(1, 1, 8000, 16, b"\x00\x00\x00"))
 
 
+def test_nonfinite_float_samples_raise():
+    """IEEE-float WAVs carrying NaN/Inf must raise the named error instead
+    of decoding into NaN rms/frame_energy that silently poisons downstream
+    aggregates while skipping the row quarantine (review r05). Integer PCM
+    cannot encode non-finite values, so only the float path is guarded."""
+    for bad in (np.nan, np.inf, -np.inf):
+        floats = np.array([0.25, bad, -0.5], dtype="<f4")
+        with pytest.raises(ValueError, match="non-finite"):
+            wavio.decode_wav(_wav(3, 1, 8000, 32, floats.tobytes()))
+    doubles = np.array([0.25, np.nan], dtype="<f8")
+    with pytest.raises(ValueError, match="non-finite"):
+        wavio.decode_wav(_wav(3, 1, 8000, 64, doubles.tobytes()))
+
+
 def test_zero_sample_data_chunk_raises():
     """A structurally valid WAV with a 0-byte data chunk must raise the
     named error: downstream kernels would otherwise compute mean([]) = NaN
