@@ -205,6 +205,15 @@ def minhash_lsh_candidates(
             "SQL)")
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # materialize the signature table ONCE before the band self-join — the
+    # same double-execution shape simhash_near_duplicates fixes: without
+    # this, the join's build side replans the whole shingle-explode +
+    # 32-min aggregation from raw text (neither side is an Exchange, so
+    # ReuseExchange never applies). Signatures are 8·num_hashes bytes/doc,
+    # the cheapest thing in the query to hold (interleaved A/B at sf0.1:
+    # median 1.55 s → 1.37 s end-to-end). Not fault-tolerant — on a real
+    # cluster prefer setCheckpointDir + .checkpoint().
+    sig = sig.localCheckpoint(eager=False)
     band_structs = ", ".join(
         "named_struct('band_idx', {b}, 'band_hash', xxhash64(concat_ws(',', "
         "{elems})))".format(
