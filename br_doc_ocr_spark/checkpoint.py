@@ -150,7 +150,11 @@ def run_resumable(
     ``max_buckets_per_snapshot`` bounds one invocation's work (simulates an
     interrupted run; production analog: one Iceberg snapshot commit per group
     of completed partitions). Call again to resume — completed buckets are
-    never re-read thanks to bucket-column partition pruning on the filter.
+    never re-PROCESSED: the bucket filter prunes their rows before the
+    extraction kernel. The input SCAN itself is full each resume (the
+    bucket column is computed, not a storage partition); on an input table
+    partitioned or bucketed by conv_id hash the same filter would prune
+    the scan too.
 
     ``table_format``/``read_snapshot_id`` select the input reader
     (``pipeline.read_transcripts``); pinning an Iceberg read snapshot
@@ -165,11 +169,17 @@ def run_resumable(
     manifest = Manifest.load_or_create(manifest_path, run_id, n_buckets)
     table_format, read_snapshot_id = manifest.resolve_input_pin(
         table_format, read_snapshot_id, loaded)
-    pending = manifest.pending_buckets()
+    all_pending = manifest.pending_buckets()
+    pending = all_pending
     if max_buckets_per_snapshot is not None:
         pending = pending[:max_buckets_per_snapshot]
     if not pending:
-        return {"processed_buckets": [], "pending_after": [], "rows": 0}
+        # pending_after reports the FULL pending set, not the slice: with
+        # max_buckets_per_snapshot=0 the slice is empty while buckets
+        # remain, and a resume loop that terminates on empty pending_after
+        # would exit believing the run complete (review r05)
+        return {"processed_buckets": [], "pending_after": all_pending,
+                "rows": 0}
 
     snapshot_id = f"snap-{len(manifest.completed):05d}"
     transcripts = read_transcripts(
@@ -185,31 +195,51 @@ def run_resumable(
     ordered = with_stable_order(results).withColumn(
         BUCKET_COL, bucket_of(sf.col("conv_id"), n_buckets))
 
-    # Idempotent per-bucket publish: dynamic partition overwrite replaces
-    # exactly the buckets written here, leaving completed ones untouched.
-    # Scoped to THIS write via the writer option — mutating the session conf
-    # races concurrent writers sharing the session (ADVICE r01).
-    (ordered.write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy(BUCKET_COL)
-     .parquet(output_path))
-
     n_rows = 0
     try:
+        # Idempotent per-bucket publish: dynamic partition overwrite
+        # replaces exactly the buckets written here, leaving completed ones
+        # untouched. Scoped to THIS write via the writer option — mutating
+        # the session conf races concurrent writers sharing the session
+        # (ADVICE r01). Inside the try: a failed write (permissions, disk
+        # full) must still release the DISK_ONLY persisted kernel output —
+        # the unguarded write leaked it for the session lifetime
+        # (review r05).
+        (ordered.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(BUCKET_COL)
+         .parquet(output_path))
+
         if lineage_path:
             lineage_rows = lineage.select(
                 sf.lit(run_id).alias("run_id"),
-                sf.lit(snapshot_id).alias("snapshot_id"),
                 "partition_id", "row_count", "success_count", "partial_count",
                 "failed_count", "error_count", "wall_clock_ms",
+                sf.lit(snapshot_id).alias("snapshot_id"),
             )
             # write the DataFrame directly — a toPandas/createDataFrame
             # round-trip raises CANNOT_INFER_EMPTY_SCHEMA when the pending
             # buckets hold zero rows, wedging the resume loop forever (the
-            # crash landed before record_snapshot AND leaked the persist)
-            lineage_rows.coalesce(1).write.mode("append").parquet(lineage_path)
+            # crash landed before record_snapshot AND leaked the persist).
+            # Partitioned by snapshot_id with dynamic overwrite so a crash
+            # BETWEEN this write and record_snapshot cannot double-count:
+            # the resume regenerates the SAME snapshot id (len(completed)
+            # is unchanged) and replaces its own partition instead of
+            # appending a second identical batch (review r05 — plain
+            # append duplicated lineage rows on exactly that crash window).
+            (lineage_rows.coalesce(1).write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("snapshot_id")
+             .parquet(lineage_path))
             total = lineage.agg(sf.sum("row_count")).first()[0]
             n_rows = int(total) if total is not None else 0
+        else:
+            # no lineage: count the just-written buckets from the output
+            # footers — reporting rows=0 for a run that processed millions
+            # of rows misleads resume loops and operators (review r05)
+            n_rows = (spark.read.parquet(output_path)
+                      .filter(sf.col(BUCKET_COL)
+                              .isin([int(b) for b in pending])).count())
     finally:
         unpersist_extraction(results)
 

@@ -220,10 +220,15 @@ def cmd_evaluate(args) -> int:
     spark = _session(args)
     pred = spark.read.parquet(args.predictions)
     golden = spark.read.parquet(args.golden)
-    report = evaluation.evaluate(pred, golden)
-    overall = report["overall"].collect()[0].asDict()
-    per_kind = [r.asDict() for r in report["per_kind"].collect()]
-    per_field = [r.asDict() for r in report["per_field"].collect()]
+    # persist: three frames below collect from the same pairing join —
+    # cached, the predictions scan + join run once (review r05)
+    report = evaluation.evaluate(pred, golden, persist=True)
+    try:
+        overall = report["overall"].collect()[0].asDict()
+        per_kind = [r.asDict() for r in report["per_kind"].collect()]
+        per_field = [r.asDict() for r in report["per_field"].collect()]
+    finally:
+        evaluation.unpersist_evaluation(report)
     print(json.dumps({"overall": overall, "per_kind": per_kind,
                       "per_field": per_field}))
     # ≥0.90 accuracy gate, exit 1 below target (cli/evaluate.py:174-180);

@@ -72,11 +72,17 @@ def json_indent2(fields: Column) -> Column:
     order — map storage order is an engine internal (Arrow round-trips
     reorder it), so the deterministic canonicalization replaces the
     reference's dict insertion order."""
+    # NULL values render as bare JSON null, exactly like json.dumps — a
+    # plain concat would be NULL for the whole entry and array_join SKIPS
+    # NULL elements, silently dropping the field from the training sample
+    # (review r05)
     entries = sf.transform(
         sf.sort_array(sf.map_entries(fields)),
-        lambda e: sf.concat(sf.lit('  "'), _json_escape(e["key"]),
-                            sf.lit('": "'), _json_escape(e["value"]),
-                            sf.lit('"')))
+        lambda e: sf.concat(
+            sf.lit('  "'), _json_escape(e["key"]), sf.lit('": '),
+            sf.when(e["value"].isNull(), sf.lit("null")).otherwise(
+                sf.concat(sf.lit('"'), _json_escape(e["value"]),
+                          sf.lit('"')))))
     return sf.when(sf.size(entries) == 0, sf.lit("{}")).otherwise(
         sf.concat(sf.lit("{\n"), sf.array_join(entries, ",\n"), sf.lit("\n}")))
 

@@ -48,14 +48,26 @@ def _aligned_keys(pred_map: Column, exp_map: Column) -> Column:
 
 
 def with_field_metrics(paired: DataFrame) -> DataFrame:
-    """Per-sample field metrics: matched/total counts over the key union and
-    the set-overlap precision/recall/F1 (A4, evaluation.py:202-236 — TP =
-    value-matching fields, denominator = each side's own key count)."""
+    """Per-sample field metrics: matched/total counts and the set-overlap
+    precision/recall/F1 (A4, evaluation.py:202-236 — TP = value-matching
+    fields PRESENT IN BOTH maps, denominator = each side's own key count).
+
+    The both-sides requirement matters for NULL-valued map entries:
+    ``map[k]`` is NULL for a missing key AND for a present-but-NULL value,
+    so a bare eqNullSafe over the key union scored a spurious
+    ``{"cpf": null}`` prediction against an empty golden as a perfect
+    match — inflating precision and sample_exact (review r05). The
+    reference counts TP only over ``pred_fields & actual_fields``
+    (evaluation.py:221), which this reproduces. :func:`field_accuracy`
+    deliberately KEEPS the union/.get() semantics — that is what the
+    reference's per-field loop does (evaluation.py:187-191)."""
     keys = _aligned_keys(sf.col("fields"), sf.col("fields_expected"))
     matches = sf.filter(
-        sf.transform(keys, lambda k: (sf.col("fields")[k]
-                                      .eqNullSafe(sf.col("fields_expected")[k]))
-                     .cast("int")),
+        sf.transform(keys, lambda k: (
+            sf.map_contains_key(sf.col("fields"), k)
+            & sf.map_contains_key(sf.col("fields_expected"), k)
+            & sf.col("fields")[k].eqNullSafe(sf.col("fields_expected")[k])
+        ).cast("int")),
         lambda x: x == 1)
     n_match = sf.size(matches)
     n_pred = sf.size(sf.map_keys(sf.col("fields")))
@@ -122,7 +134,8 @@ def field_accuracy(paired: DataFrame) -> DataFrame:
 
 
 def evaluate(pred: DataFrame, golden: DataFrame,
-             broadcast_golden: bool = True) -> dict[str, DataFrame]:
+             broadcast_golden: bool = True,
+             persist: bool = False) -> dict[str, DataFrame]:
     """Full evaluation report — the Spark rendering of ``cli evaluate``
     (cli/evaluate.py:19-184): overall, per-kind, per-field, plus a coverage
     frame. The pairing join is INNER (matching the reference, whose samples
@@ -133,19 +146,41 @@ def evaluate(pred: DataFrame, golden: DataFrame,
     ``broadcast_golden=False`` for golden sets too large to broadcast
     (the explicit hint bypasses autoBroadcastJoinThreshold entirely, so a
     10^7-row golden would otherwise be collected to every executor);
-    the pairing then shuffles both sides on the turn key."""
+    the pairing then shuffles both sides on the turn key.
+
+    ``persist=True`` caches the pairing join so collecting several report
+    frames scans the predictions table ONCE instead of re-running the join
+    per frame (overall/per_kind/per_field each consume it — review r05);
+    call :func:`unpersist_evaluation` on the returned dict when done. Left
+    False by default so single-frame consumers (the catalog query reads
+    only ``per_kind``) don't leak a session-lifetime cache entry."""
     paired = pair_predictions(pred, golden, broadcast_golden)
+    if persist:
+        from pyspark import StorageLevel
+
+        paired = paired.persist(StorageLevel.MEMORY_AND_DISK)
     metrics = with_field_metrics(paired)
     unmatched = golden.join(pred, on=JOIN_KEYS, how="left_anti")
     coverage = unmatched.agg(
         sf.count("*").alias("unmatched_golden")).crossJoin(
         golden.agg(sf.count("*").alias("golden_total")))
-    return {
+    out = {
         "overall": overall_accuracy(metrics),
         "per_kind": accuracy_per_kind(metrics),
         "per_field": field_accuracy(paired),
         "coverage": coverage,
     }
+    if persist:
+        out["_paired"] = paired  # unpersist handle (unpersist_evaluation)
+    return out
+
+
+def unpersist_evaluation(report: dict[str, DataFrame]) -> None:
+    """Release the pairing cache of an ``evaluate(..., persist=True)``
+    report. No-op for unpersisted reports."""
+    paired = report.get("_paired")
+    if paired is not None:
+        paired.unpersist()
 
 
 def generate_evaluation_report(report: dict[str, DataFrame],

@@ -50,7 +50,26 @@ def cosine(a: Column, b: Column) -> Column:
     # instead of dividing by zero (which THROWS under Spark 4's default
     # ANSI mode, killing the whole query for one degenerate row)
     d = norm(a) * norm(b)
-    return sf.when(d == 0, sf.lit(0.0)).otherwise(dot(a, b) / d)
+    c = sf.when(d == 0, sf.lit(0.0)).otherwise(dot(a, b) / d)
+    # NaN → NULL: in Spark NaN sorts GREATER than every double, so one
+    # corrupted corpus vector (a single NaN component) would rank FIRST in
+    # every desc-ordered top-k and pass every >= threshold filter (NaN >= x
+    # is true) — _finite() validates only the query literal, never the
+    # corpus (review r05). NULL instead sorts last under desc and fails
+    # thresholds, quarantining the row without killing the query.
+    guarded = sf.nanvl(c, sf.lit(None).cast("double"))
+    # dimension mismatch fails LOUDLY (same contract as ivf_bucket): a
+    # 128-dim query against a 256-dim corpus would otherwise NULL-pad
+    # through zip_with and score every row NULL — a silently arbitrary
+    # "top-k" (review r05). NULL arrays skip the guard (size(NULL) is NULL
+    # → the when falls through) and quarantine via the NULL score instead.
+    return sf.when(
+        sf.size(a) != sf.size(b),
+        sf.raise_error(sf.concat(
+            sf.lit("cosine: embedding dimension mismatch ("),
+            sf.size(a).cast("string"), sf.lit(" vs "),
+            sf.size(b).cast("string"), sf.lit(")")))
+    ).otherwise(guarded)
 
 
 def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
@@ -297,10 +316,19 @@ def _int8_score(q_codes: list[int]) -> tuple[Column, Column]:
         # row (the corpus-side zero was already guarded below)
         return sf.lit(0).cast("long"), sf.lit(0.0)
     qc = f"array({', '.join(str(c) for c in q_codes)})"
+    # dimension mismatch fails LOUDLY (same contract as ivf_bucket): a
+    # query probed against a different-dimension index would otherwise
+    # NULL-pad through zip_with into NULL scores that silently sort last
+    # (review r05); the CASE reuses q_codes so both aggregates stay on the
+    # checked value
+    checked = (f"CASE WHEN size(q_codes) = {len(q_codes)} THEN q_codes "
+               f"ELSE raise_error(concat('int8 probe: index dimension ', "
+               f"cast(size(q_codes) AS STRING), "
+               f"' != query dimension {len(q_codes)}')) END")
     # widen BEFORE multiplying: the int8 index stores array<tinyint>, and
     # same-type tinyint*tinyint stays tinyint — 127² overflows it under ANSI
     int_dot = sf.expr(
-        f"aggregate(zip_with(q_codes, {qc}, "
+        f"aggregate(zip_with({checked}, {qc}, "
         f"(x, y) -> cast(x as long) * y), cast(0 as long), (acc, x) -> acc + x)")
     ss_c = sf.expr(
         "cast(aggregate(transform(q_codes, x -> cast(x as long) * x), "

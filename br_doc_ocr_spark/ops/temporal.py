@@ -89,6 +89,15 @@ def range_join(points: DataFrame, intervals: DataFrame,
     dedup, no cartesian. Size ``bucket_seconds`` near the typical interval
     length: candidates per point ≈ intervals overlapping its bucket.
     """
+    # reserved working-column guard, same contract as asof_join: withColumn
+    # would silently OVERWRITE a caller's pre-existing _bucket (e.g. the
+    # undropped output of another bucketing op) and then drop it from the
+    # result (review r05)
+    clash = {"_bucket"} & (set(points.columns) | set(intervals.columns))
+    if clash:
+        raise ValueError(
+            "range_join reserves the working column '_bucket', which "
+            "already exists on an input frame — rename or drop it first")
     p_bucket = sf.floor(sf.unix_timestamp(sf.col(point_ts))
                         / sf.lit(bucket_seconds))
     i_buckets = sf.sequence(

@@ -51,6 +51,56 @@ def test_resume_in_three_snapshots_equals_oracle(spark, tiny_transcripts,
     assert lineage["row_count"].sum() == len(expected)
 
 
+def test_zero_bucket_slice_still_reports_pending(spark, tiny_transcripts_path,
+                                                 paths):
+    """max_buckets_per_snapshot=0 slices pending to empty; pending_after
+    must report the FULL pending set, not the slice — a resume loop
+    terminating on empty pending_after would otherwise exit believing the
+    run complete with zero buckets processed (review r05)."""
+    s = checkpoint.run_resumable(
+        spark, tiny_transcripts_path, paths["out"], paths["manifest"],
+        n_buckets=4, max_buckets_per_snapshot=0)
+    assert s["processed_buckets"] == []
+    assert s["pending_after"] == [0, 1, 2, 3]
+    assert s["rows"] == 0
+
+
+def test_rows_reported_without_lineage(spark, tiny_transcripts_path, paths):
+    """rows must reflect the processed output even when lineage is off —
+    a run that wrote millions of rows reporting rows=0 misleads resume
+    loops and operators (review r05)."""
+    s = checkpoint.run_resumable(spark, tiny_transcripts_path, paths["out"],
+                                 paths["manifest"], n_buckets=4)
+    assert s["rows"] == spark.read.parquet(paths["out"]).count() > 0
+
+
+def test_lineage_not_duplicated_across_crash_window(spark,
+                                                    tiny_transcripts_path,
+                                                    paths):
+    """Crash BETWEEN the lineage write and record_snapshot: the resume
+    regenerates the same snapshot id and must REPLACE its lineage
+    partition, not append a second identical batch that double-counts
+    row totals (review r05 — mode('append') did exactly that)."""
+    checkpoint.run_resumable(
+        spark, tiny_transcripts_path, paths["out"], paths["manifest"],
+        lineage_path=paths["lineage"], n_buckets=4,
+        max_buckets_per_snapshot=2)
+    first = spark.read.parquet(paths["lineage"]).toPandas()
+    # simulate the crash: lineage was written, the manifest commit was not
+    with open(paths["manifest"], encoding="utf-8") as f:
+        m = json.load(f)
+    del m["completed"]["snap-00000"]
+    with open(paths["manifest"], "w", encoding="utf-8") as f:
+        json.dump(m, f)
+    checkpoint.run_resumable(
+        spark, tiny_transcripts_path, paths["out"], paths["manifest"],
+        lineage_path=paths["lineage"], n_buckets=4,
+        max_buckets_per_snapshot=2)
+    again = spark.read.parquet(paths["lineage"]).toPandas()
+    assert set(again["snapshot_id"]) == {"snap-00000"}
+    assert again["row_count"].sum() == first["row_count"].sum()  # not doubled
+
+
 def test_rerun_of_completed_bucket_is_idempotent(spark, tiny_transcripts_path,
                                                  paths):
     checkpoint.run_resumable(spark, tiny_transcripts_path, paths["out"],

@@ -42,6 +42,7 @@ def results(spark):
         (3, {}),                                                   # unknown
         (4, {"nome": 'Jo\\ão "quoted"'}),                          # escaping
         (5, {"nota": "line1\nline2\ttab\rret"}),                   # ctrl chars
+        (6, {"ausente": None, "nome": "x"}),                       # null value
     ]
     return spark.createDataFrame(rows, "conv_id long, fields map<string,string>")
 
@@ -54,7 +55,10 @@ def test_transform_matches_reference_model(results):
                             (2, {"categoria_habilitacao": "AB"}),
                             (3, {}),
                             (4, {"nome": 'Jo\\ão "quoted"'}),
-                            (5, {"nota": "line1\nline2\ttab\rret"})]:
+                            (5, {"nota": "line1\nline2\ttab\rret"}),
+                            # NULL value renders as bare JSON null, never
+                            # silently dropped (review r05)
+                            (6, {"ausente": None, "nome": "x"})]:
         row = got[conv_id]
         # key-sorted canonicalization: map storage order is an engine
         # internal, so the graft renders entries in key order (the reference
@@ -72,7 +76,7 @@ def test_transform_document_types(results):
     got = {r["conv_id"]: r["document_type"]
            for r in ds.to_training_samples(results).collect()}
     assert got == {0: "invoice", 1: "rg", 2: "cnh", 3: "unknown",
-                   4: "unknown", 5: "unknown"}
+                   4: "unknown", 5: "unknown", 6: "unknown"}
 
 
 def test_transform_conversation_shape(results):
@@ -165,7 +169,7 @@ def test_metrics_collector_parquet_sink(spark, tmp_path):
 def test_write_training_dataset_end_to_end(spark, results, tmp_path):
     counts = ds.write_training_dataset(results, str(tmp_path / "td"),
                                        key_col="conv_id")
-    assert sum(counts.values()) == 6
+    assert sum(counts.values()) == 7
     read_back = spark.read.json(str(tmp_path / "td") + "/train")
     assert {"conv_id", "document_type", "expected_output",
             "messages_json"} <= set(read_back.columns)

@@ -51,6 +51,34 @@ def test_per_sample_metrics(spark, pred_golden):
     assert empty["precision"] == 1.0 and empty["recall"] == 1.0
 
 
+def test_null_valued_pred_only_field_is_not_a_match(spark):
+    """A spurious {"cpf": null} prediction against an empty golden must NOT
+    score as a match: map[k] is NULL for missing keys AND null values, so a
+    bare eqNullSafe over the key union scored it precision 1.0 /
+    sample_exact 1 (review r05). The reference counts TP only over the key
+    intersection (evaluation.py:221); a null value present in BOTH maps
+    still matches (Python None == None)."""
+    schema = ("conv_id string, turn_idx int, payload_kind string, "
+              "extracted_text string, fields map<string,string>, status string")
+    pred = spark.createDataFrame(
+        [("c1", 0, "prose", "t", {"cpf": None}, "success"),
+         ("c1", 1, "prose", "t", {"cpf": None}, "success")], schema)
+    golden = spark.createDataFrame(
+        [("c1", 0, "prose", "t", {}, "failed"),
+         ("c1", 1, "prose", "t", {"cpf": None}, "success")], schema)
+    m = evaluation.with_field_metrics(
+        evaluation.pair_predictions(pred, golden)).collect()
+    rows = {r["turn_idx"]: r for r in m}
+    spurious = rows[0]          # pred-only null field vs empty golden
+    assert spurious["n_fields_matched"] == 0
+    assert spurious["sample_exact"] == 0
+    assert spurious["precision"] == 0.0
+    both_null = rows[1]         # null value present in BOTH maps
+    assert both_null["n_fields_matched"] == 1
+    assert both_null["sample_exact"] == 1
+    assert both_null["precision"] == 1.0
+
+
 def test_overall_and_per_kind(spark, pred_golden):
     pred, golden = pred_golden
     rep = evaluation.evaluate(pred, golden)

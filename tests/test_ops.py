@@ -192,6 +192,35 @@ def test_cosine_topk_exact(vectors):
     assert top[2]["cosine"] == pytest.approx(expected, abs=1e-6)
 
 
+def test_cosine_nan_corpus_vector_is_quarantined_not_first(spark):
+    """One corrupted embedding (NaN component) must NOT rank first: NaN
+    compares greater than every double in Spark, so an unguarded cosine put
+    the garbage vector at the top of every desc top-k and through every
+    >= threshold filter (review r05). NaN scores map to NULL — sorted last,
+    failing thresholds."""
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [float("nan"), 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = similarity.cosine_topk(df, [1.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top] == [0, 1, 2]
+    assert top[2]["cosine"] is None
+    pairs = similarity.cosine_near_duplicates(df, threshold=0.9, n_bits=2)
+    assert all(r["id_a"] != 2 and r["id_b"] != 2 for r in pairs.collect())
+
+
+def test_cosine_dimension_mismatch_raises(spark):
+    """A query probed against a different-dimension corpus must fail loudly
+    (zip_with NULL-pads otherwise, yielding an arbitrary NULL-scored
+    'top-k' — review r05); same contract for the int8 probe."""
+    from pyspark.errors import PySparkException
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(PySparkException, match="dimension mismatch"):
+        similarity.cosine_topk(df, [1.0, 0.0], k=1).collect()
+    with pytest.raises(PySparkException, match="index dimension"):
+        similarity.cosine_topk_int8(df, [1.0, 0.0], k=1).collect()
+
+
 def test_knn_join_per_query_topk(vectors):
     queries = vectors.filter(sf.col("vec_id") < 2).select(
         sf.col("vec_id").alias("q_id"), "embedding")
@@ -898,6 +927,24 @@ def test_range_join_tolerates_colliding_column_names(spark):
                  "cast(ts as timestamp) AS ts")
     got = temporal.range_join(pts, ivs)
     assert got.count() == 1
+
+
+def test_range_join_refuses_reserved_bucket_column(spark):
+    """A pre-existing '_bucket' column must raise, not be silently
+    overwritten and dropped from the output (review r05 — asof_join
+    already had this guard for its working columns)."""
+    from br_doc_ocr_spark.ops import temporal
+
+    pts = spark.createDataFrame(
+        [(1, "2026-01-01 10:30:00", 7)], "user_id long, ts string, _bucket int"
+    ).selectExpr("user_id", "cast(ts as timestamp) AS ts", "_bucket")
+    ivs = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00", "2026-01-01 11:00:00")],
+        "user_id long, start string, end string"
+    ).selectExpr("user_id", "cast(start as timestamp) AS start",
+                 "cast(end as timestamp) AS end")
+    with pytest.raises(ValueError, match="_bucket"):
+        temporal.range_join(pts, ivs)
 
 
 def test_crlf_documents_score_like_lf_documents(spark):
