@@ -455,11 +455,29 @@ def extract_documents_batch(batch: pd.DataFrame) -> pd.DataFrame:
     rows: list[dict[str, Any]] = []
     for conv_id, turn_idx, text in zip(batch["conv_id"], batch["turn_idx"],
                                        batch["text"]):
-        segments = segment_payload(text)
-        for doc_idx, segment in enumerate(segments):
-            r = extract_turn(segment)
+        # per-row error channel, same contract as extract_batch: one bad
+        # row (a NaN turn_idx from a malformed upstream join, an extractor
+        # exception) must surface as a status='error' row, not kill the
+        # whole scan partition (review r05 — this flatMap kernel silently
+        # lacked the batch error contract the module docstring promises)
+        try:
+            idx = int(turn_idx)
+            segments = segment_payload(text)
+            seg_rows = [(doc_idx, extract_turn(segment))
+                        for doc_idx, segment in enumerate(segments)]
+        except Exception:
+            try:
+                idx = int(turn_idx)
+            except Exception:
+                idx = -1  # unconvertible turn_idx: keep the row, flag it
+            seg_rows = [(0, {
+                "payload_kind": "unknown", "extracted_text": "",
+                "fields": {}, "low_confidence_fields": [],
+                "n_fields": 0, "status": "error"})]
+            segments = [""]
+        for doc_idx, r in seg_rows:
             rows.append({
-                "conv_id": conv_id, "turn_idx": int(turn_idx),
+                "conv_id": conv_id, "turn_idx": idx,
                 "doc_idx": doc_idx, "n_docs": len(segments),
                 "payload_kind": r["payload_kind"],
                 "extracted_text": r["extracted_text"],

@@ -272,7 +272,20 @@ class LibraryDecoder:
             img = bg
         elif img.mode != "RGB":
             img = img.convert("RGB")
-        return np.asarray(img, dtype=np.uint8)
+        arr = np.asarray(img, dtype=np.uint8)
+        # the same decoded-vs-metadata contract PngDecoder/JpegDecoder
+        # enforce: without it a mislabeled row either crashes the kernel
+        # with an IndexError OUTSIDE the (ValueError, OSError) quarantine
+        # (decoded smaller than metadata — one bad blob kills the partition
+        # even under on_error='skip') or silently computes features from a
+        # top-left crop with misreported dimensions (decoded larger)
+        # (review r05)
+        if arr.shape[:2] != (height, width):
+            raise ValueError(
+                f"media metadata says {width}x{height} but the payload "
+                f"decodes to {arr.shape[1]}x{arr.shape[0]} — refusing "
+                f"mismatched metadata")
+        return arr
 
     _wav = None  # lazy shared WavDecoder for the RIFF fallback
 
@@ -436,7 +449,16 @@ def video_frame_sample_kernel(decoder=None, every_nth: int = 10):
                     frame = decoder.decode_video_frame(bytes(payload),
                                                        frame_idx, w, h)
                     gray = frame.mean(axis=2)
-                    bits = (gray[:8, :8] > gray[:8, :8].mean()).flatten()
+                    # 8x8 STRIDED downsample of the whole frame, same as
+                    # image_feature_kernel — the raw top-left 8x8 corner of
+                    # a real (smooth) frame is near-uniform, so its bits
+                    # were a degenerate, frame-content-independent pattern
+                    # that made phash-based frame dedup useless (review
+                    # r05; latent under FakeDecoder's noise frames)
+                    ty = (np.arange(8) * (h / 8)).astype(int)
+                    tx = (np.arange(8) * (w / 8)).astype(int)
+                    tiny = gray[ty][:, tx]
+                    bits = (tiny > tiny.mean()).flatten()
                     phash = 0
                     for b in bits:
                         phash = (phash << 1) | int(b)

@@ -131,6 +131,10 @@ def stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
                 (sf.length(lowered)
                  - sf.length(sf.replace(lowered, sf.lit(w), sf.lit(""))))
                 / len(w))
+    if not counts:
+        # empty word tuple: zero hits, not an IndexError at plan build
+        # (review r05 — e.g. a language entry with no stopwords yet)
+        return sf.lit(0)
     total = counts[0]
     for c in counts[1:]:
         total = total + c
@@ -182,6 +186,10 @@ def _spark_sql_stopword_hits(text_sql: str, words: tuple[str, ...]) -> str:
             terms.append(
                 f"((length(lower({text_sql})) - "
                 f"length(replace(lower({text_sql}), '{w}', ''))) / {len(w)})")
+    if not terms:
+        # empty word tuple renders literal 0, matching stopword_hits —
+        # joining zero terms produced 'cast(() as int)', a SQL parse error
+        return "0"
     return f"greatest(cast(({' + '.join(terms)}) as int), 0)"
 
 

@@ -45,6 +45,23 @@ def test_extract_documents_batch_golden():
     assert set(out["status"]) == {"success"}
 
 
+def test_extract_documents_batch_error_channel():
+    """One bad row (NaN turn_idx — int(nan) raises) must surface as a
+    status='error' row, not kill the whole partition: the flatMap kernel
+    lacked the per-row error contract extract_batch has (review r05)."""
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "conv_id": ["c1", "c2"],
+        "turn_idx": [0, float("nan")],
+        "text": ["sem separador CPF 111.111.111-11", "qualquer texto"],
+    })
+    out = extract_documents_batch(df)
+    assert list(out["status"]) == ["success", "error"]
+    assert list(out["turn_idx"]) == [0, -1]
+    assert out.iloc[1]["n_fields"] == 0
+
+
 def test_spark_multidoc_matches_oracle(spark, tiny_transcripts,
                                        tiny_transcripts_path):
     got = (pipeline.run_multi_extraction(

@@ -72,6 +72,31 @@ def test_video_frame_sampling_is_flatmap(media):
     assert (frames["frame_idx"] % 10 == 0).all()
 
 
+def test_library_decoder_enforces_metadata_dimensions(monkeypatch):
+    """The PIL path must enforce the same decoded-vs-metadata contract as
+    PngDecoder/JpegDecoder: a mislabeled row otherwise IndexErrors outside
+    the kernel quarantine (decoded smaller) or silently crops (decoded
+    larger) (review r05). PIL is absent in this container, so a stub stands
+    in for Image.open."""
+    import sys
+    import types
+
+    class _FakeImg:
+        mode = "RGB"
+
+        def __array__(self, dtype=None, copy=None):
+            return np.zeros((50, 50, 3), dtype=np.uint8)
+
+    fake_image_mod = types.SimpleNamespace(open=lambda fp: _FakeImg())
+    monkeypatch.setitem(sys.modules, "PIL",
+                        types.SimpleNamespace(Image=fake_image_mod))
+    d = mm.LibraryDecoder()
+    out = d.decode_image(b"whatever", 50, 50)
+    assert out.shape == (50, 50, 3)
+    with pytest.raises(ValueError, match="mismatched metadata"):
+        d.decode_image(b"whatever", 100, 100)
+
+
 def test_library_decoder_is_clearly_stubbed():
     d = mm.LibraryDecoder()
     # non-PNG/JPEG payloads still raise the PIL gate without PIL installed;
