@@ -84,7 +84,14 @@ def cmd_extract(args) -> int:
     if args.schema:
         from br_doc_ocr_spark.core.schemas import load_schema
 
-        schema = load_schema(args.schema)
+        # same clean-exit contract as --redact: a missing/invalid schema
+        # file prints to stderr and exits 2, never a raw traceback
+        # (review r05 — SchemaError subclasses ValueError)
+        try:
+            schema = load_schema(args.schema)
+        except ValueError as e:
+            print(e, file=sys.stderr)
+            return 2
     try:
         redact = _parse_redact(args.redact)
     except ValueError as e:
@@ -127,7 +134,14 @@ def cmd_extract_one(args) -> int:
     if args.schema:
         from br_doc_ocr_spark.core.schemas import load_schema
 
-        schema = load_schema(args.schema)
+        # same clean-exit contract as --redact: a missing/invalid schema
+        # file prints to stderr and exits 2, never a raw traceback
+        # (review r05 — SchemaError subclasses ValueError)
+        try:
+            schema = load_schema(args.schema)
+        except ValueError as e:
+            print(e, file=sys.stderr)
+            return 2
     try:
         redact = _parse_redact(getattr(args, "redact", None))
     except ValueError as e:
@@ -243,7 +257,11 @@ def cmd_schemas(args) -> int:
     from br_doc_ocr_spark.core import schemas as S
 
     if args.validate:
-        schema = S.load_schema(args.validate)
+        try:
+            schema = S.load_schema(args.validate)
+        except ValueError as e:
+            print(e, file=sys.stderr)
+            return 2
         print(json.dumps(S.validate_schema(schema)))
         return 0
     out = [{"type": name, "title": s.get("title"),

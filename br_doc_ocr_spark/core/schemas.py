@@ -309,7 +309,11 @@ def to_struct_type(schema: dict[str, Any]):
     from pyspark.sql import types as T
 
     def convert(spec: dict[str, Any]) -> "T.DataType":
-        t = spec.get("type", "string")
+        # JSON Schema permits omitting 'type' on object-shaped specs —
+        # infer 'object' from the presence of 'properties' so a top-level
+        # {'properties': {...}} compiles to a StructType instead of
+        # degrading to a scalar StringType (review r05)
+        t = spec.get("type", "object" if "properties" in spec else "string")
         if t == "object":
             return T.StructType([
                 T.StructField(n, convert(s if isinstance(s, dict) else {}), True)

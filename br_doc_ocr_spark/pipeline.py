@@ -38,14 +38,12 @@ from br_doc_ocr_spark.core.extract import (
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
-# Lineage schema (FIXTURES.md §5): no string payload columns permitted.
-# Redacting runs append one count column: redaction_residuals long (the
-# per-partition residual-identifier escape tally — still counts-only).
-LINEAGE_SCHEMA_DDL = (
-    "partition_id int, row_count long, success_count long, partial_count long, "
-    "failed_count long, error_count long, wall_clock_ms long"
-)
-EXTRACT_WITH_LINEAGE_DDL = OUTPUT_SCHEMA_DDL + ", _partition_id int, _batch_ms long"
+# (Two former module constants deleted, review r05: LINEAGE_SCHEMA_DDL had
+# drifted from the lineage rows run_pipeline actually writes — missing the
+# run_id/snapshot_id stamps and the optional redaction_residuals column —
+# and EXTRACT_WITH_LINEAGE_DDL duplicated _extract_ddl(redact=False); both
+# had zero readers. The authoritative kernel-output schema is
+# _extract_ddl(); the lineage schema is the select in run_pipeline.)
 
 
 def _extract_ddl(redact: bool) -> str:
@@ -280,13 +278,26 @@ def run_pipeline(
     confidence_scores / low_confidence_fields columns from the result (P2 —
     the reference's ``--confidence`` off path, cli/extract.py:130-137).
     """
+    if lineage_path and not output_path:
+        # the lineage write is nested under the output write — silently
+        # skipping it would leave the caller's resume manifest without its
+        # lineage table (review r05)
+        raise ValueError(
+            "run_pipeline: lineage_path requires output_path — lineage is "
+            "written alongside the output (pass output_path, or consume "
+            "the returned lineage frame directly)")
     transcripts = read_transcripts(spark, input_path,
                                    table_format=table_format,
                                    snapshot_id=read_snapshot_id)
-    # persist: the ordered write AND the lineage write both consume the
-    # kernel output — without materialization the kernel runs twice.
+    # persist ONLY when the ordered write AND the lineage write both
+    # consume the kernel output — with output alone there is exactly one
+    # action inside this function, and the DISK_ONLY materialization was
+    # pure overhead (~2x the I/O of the write path at 20M rows,
+    # review r05); the returned frames recompute either way since the
+    # cache is released before return.
     results, lineage = run_extraction(transcripts, salt=salt,
-                                      persist=bool(output_path),
+                                      persist=bool(output_path and
+                                                   lineage_path),
                                       max_payload_chars=max_payload_chars,
                                       schema=schema,
                                       redact_fields=redact_fields)
@@ -549,11 +560,20 @@ def compact_parquet(spark: SparkSession, input_path: str, output_path: str,
         return hp.getFileSystem(conf).makeQualified(hp)
 
     in_q = _qualified(input_path)
-    if str(in_q) == str(_qualified(output_path)):
+    in_qs = str(in_q)
+    out_qs = str(_qualified(output_path))
+    # ancestor check BOTH ways, not bare equality: an input nested under
+    # output_path ('/t/raw' → '/t') is recursively DELETED by the
+    # mode('overwrite') before/while the rewrite scans it — silent source
+    # data loss; an output nested under input would be listed as its own
+    # input on a re-run (review r05)
+    if (in_qs == out_qs or in_qs.startswith(out_qs.rstrip("/") + "/")
+            or out_qs.startswith(in_qs.rstrip("/") + "/")):
         raise ValueError(
-            "compact_parquet: output_path equals input_path — the overwrite "
-            "would delete the source mid-scan; write to a sibling directory "
-            "and swap (rewrite-then-commit)")
+            "compact_parquet: output_path equals or nests with input_path "
+            f"({in_qs} vs {out_qs}) — the overwrite would delete the source "
+            "mid-scan; write to a sibling directory and swap "
+            "(rewrite-then-commit)")
 
     def _parquet_files(path: str) -> list[tuple[str, int]]:
         hpath = _hpath(path)

@@ -39,9 +39,30 @@ def build_session(
 ) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # force local[N] ONLY when no master is already configured: under
+    # `spark-submit --master yarn/k8s` the master arrives as the
+    # spark.master system property, and an unconditional .master() override
+    # silently ran the whole 1000-executor job single-node on the driver
+    # (review r05 — cli.py documents this contract). Two signals:
+    # PYSPARK_GATEWAY_PORT is set in the Python child whenever spark-submit
+    # launched the JVM first (the submit master governs, even before any
+    # SparkContext exists in this process); SparkConf(True) additionally
+    # reads live JVM properties when a gateway is already attached. Plain
+    # `python` (the local/test path) has neither → local[N].
+    from pyspark import SparkConf
+
+    master_configured = (
+        "PYSPARK_GATEWAY_PORT" in os.environ
+        or SparkConf(loadDefaults=True).contains("spark.master"))
+    builder = SparkSession.builder.appName(app_name)
+    if not master_configured:
+        # spark.driver.memory is the local-mode rendering of executor
+        # sizing; under spark-submit it comes from the submit args and
+        # cannot be changed after JVM launch anyway
+        builder = (builder.master(f"local[{cpus}]")
+                   .config("spark.driver.memory", driver_memory_for(cpus)))
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        builder
         # --- adaptive execution: runtime re-plan, skew defense, coalesce ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -65,10 +86,10 @@ def build_session(
         .config("spark.sql.parquet.compression.codec", "snappy")
         # --- deterministic timestamp behavior across engines ---
         .config("spark.sql.session.timeZone", "UTC")
+        # (spark.driver.memory is set in the local-only branch above:
         # local[32] at a fixed 8 GiB OOMed the ordered write at 20M rows —
-        # this is the local-mode rendering of sizing executor memory to
-        # --executor-cores (see driver_memory_for).
-        .config("spark.driver.memory", driver_memory_for(cpus))
+        # the local-mode rendering of sizing executor memory to
+        # --executor-cores, see driver_memory_for)
         .config("spark.ui.enabled", "false")
     )
     for key, value in (extra_conf or {}).items():

@@ -135,6 +135,19 @@ def test_extract_one_requires_exactly_one_source(capsys):
     assert cli.main(["extract-one", "--text", "x", "--file", "y"]) == 2
 
 
+def test_missing_schema_file_exits_cleanly(capsys):
+    """A missing/invalid --schema must exit 2 with the error on stderr,
+    matching the --redact contract — not escape main() as a raw traceback
+    (review r05). Same for schemas --validate."""
+    rc = cli.main(["extract-one", "--text", "x",
+                   "--schema", "/nonexistent/s.json"])
+    assert rc == 2
+    assert "not found" in capsys.readouterr().err.lower()
+    rc = cli.main(["schemas", "--validate", "/nonexistent/s.json"])
+    assert rc == 2
+    assert "not found" in capsys.readouterr().err.lower()
+
+
 def test_dataset_command(spark, tiny_transcripts_path, tmp_path, capsys):
     """extract → dataset export round-trip: the written splits cover every
     extraction row and carry the conversation columns."""

@@ -380,10 +380,33 @@ def test_compact_parquet_refuses_in_place(spark, tmp_path):
     mid-scan — must raise, including on trailing-slash spellings."""
     src = str(tmp_path / "t")
     spark.range(10).write.parquet(src)
-    with pytest.raises(ValueError, match="output_path equals input_path"):
+    with pytest.raises(ValueError, match="equals or nests with input_path"):
         pipeline.compact_parquet(spark, src, src)
-    with pytest.raises(ValueError, match="output_path equals input_path"):
+    with pytest.raises(ValueError, match="equals or nests with input_path"):
         pipeline.compact_parquet(spark, src, src + "/")
+
+
+def test_compact_parquet_refuses_nested_paths(spark, tmp_path):
+    """An input nested UNDER the output ('/t/raw' -> '/t') is recursively
+    deleted by the overwrite before the rewrite scans it — silent source
+    data loss; the reverse nesting lists the output as its own input on a
+    re-run. Both must raise (review r05 — equality alone missed them)."""
+    src = str(tmp_path / "t" / "raw")
+    spark.range(10).write.parquet(src)
+    with pytest.raises(ValueError, match="equals or nests with input_path"):
+        pipeline.compact_parquet(spark, src, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="equals or nests with input_path"):
+        pipeline.compact_parquet(spark, str(tmp_path / "t"),
+                                 str(tmp_path / "t" / "compacted"))
+
+
+def test_run_pipeline_rejects_lineage_without_output(spark,
+                                                     tiny_transcripts_path):
+    """lineage_path without output_path was silently ignored (the lineage
+    write nests under the output write) — must raise (review r05)."""
+    with pytest.raises(ValueError, match="lineage_path requires output_path"):
+        pipeline.run_pipeline(spark, tiny_transcripts_path,
+                              lineage_path="/tmp/never-written")
 
 
 def test_compact_parquet_empty_input_returns_empty_stats(spark, tmp_path):
@@ -493,5 +516,5 @@ def test_compact_parquet_accepts_hadoop_uri_spellings(spark, tmp_path):
                                      target_file_mb=1)
     assert stats["rows"] == 100
     for spelling in (src, f"file:{src}", f"file://{src}"):
-        with pytest.raises(ValueError, match="output_path equals input_path"):
+        with pytest.raises(ValueError, match="equals or nests with input_path"):
             pipeline.compact_parquet(spark, src, spelling)

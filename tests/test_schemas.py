@@ -118,3 +118,13 @@ def test_to_struct_type():
     nested = S.to_struct_type({"type": "object", "properties": {
         "arr": {"type": "array", "items": {"type": "integer"}}}})
     assert nested["arr"].dataType == T.ArrayType(T.LongType())
+    # JSON Schema permits omitting 'type' on object-shaped specs — infer
+    # object from 'properties' instead of degrading to a scalar StringType
+    # (review r05); applies nested too
+    untyped = S.to_struct_type({"properties": {
+        "cpf": {"type": "string"},
+        "inner": {"properties": {"n": {"type": "integer"}}}}})
+    assert isinstance(untyped, T.StructType)
+    assert untyped["cpf"].dataType == T.StringType()
+    assert untyped["inner"].dataType == T.StructType(
+        [T.StructField("n", T.LongType(), True)])
