@@ -103,15 +103,17 @@ def _host_probe(procs_low: int, procs_high: int, rounds: int = 3) -> dict:
         with _UtilMeter() as m:
             ps = [mp.Process(target=_probe_worker, args=(q, 50_000, 1200))
                   for _ in range(k)]
-            t0 = time.perf_counter()
             for p in ps:
                 p.start()
-            for _ in ps:
-                q.get()
-            wall = time.perf_counter() - t0
+            # the slowest worker's COMPUTE-ONLY time (each worker times just
+            # its loop, post-import) — a start-to-last-result wall also
+            # counted fork + numpy import, which is the same magnitude as
+            # the probed compute and contends hardest exactly at the high
+            # proc count, understating the real host ceiling (review r05)
+            times = [q.get() for _ in ps]
             for p in ps:
                 p.join()
-        return wall, m.steal_pct
+        return max(times), m.steal_pct
 
     walls: dict[int, list[float]] = {procs_low: [], procs_high: []}
     steal_hi = []

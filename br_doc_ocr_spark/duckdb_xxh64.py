@@ -59,15 +59,30 @@ def _round0(w: str) -> str:
     return _mul(_rotl(f"({_mul(w, str(P2))})", 31), str(P1))
 
 
+# The 5-step XXH64 finalization avalanche — xor-shift 33, *P2, xor-shift 29,
+# *P3, xor-shift 32 — as ONE spec table. Three renderings derive from it
+# (_fmix_aliases lateral aliases, the tail of the g_layers CTE chain, the
+# per-seed level CTEs in seed_permutation_ctes); hand-writing it three times
+# meant a constant typo in one copy would pass import and surface only as an
+# opaque downstream value-hash mismatch (review r05).
+_AVALANCHE: tuple[tuple[str, int], ...] = (
+    ("shift", 33), ("mul", P2), ("shift", 29), ("mul", P3), ("shift", 32))
+
+
+def _avalanche_step(kind: str, val: int, c: str) -> str:
+    if kind == "shift":
+        return _xor(c, f"({c}) // {1 << val}")
+    return _mul(c, str(val))
+
+
 def _fmix_aliases(h: str, prefix: str) -> list[str]:
     """The 5-step avalanche as lateral-alias columns; final = ``{prefix}5``."""
-    return [
-        f"{_xor(h, f'({h}) // {1 << 33}')} AS {prefix}1",
-        f"{_mul(prefix + '1', str(P2))} AS {prefix}2",
-        f"{_xor(prefix + '2', prefix + '2 // ' + str(1 << 29))} AS {prefix}3",
-        f"{_mul(prefix + '3', str(P3))} AS {prefix}4",
-        f"{_xor(prefix + '4', prefix + '4 // ' + str(1 << 32))} AS {prefix}5",
-    ]
+    out = []
+    cur = f"({h})"
+    for i, (kind, val) in enumerate(_AVALANCHE):
+        out.append(f"{_avalanche_step(kind, val, cur)} AS {prefix}{i + 1}")
+        cur = f"{prefix}{i + 1}"
+    return out
 
 
 def _signed(u: str) -> str:
@@ -238,11 +253,12 @@ def seed_permutation_ctes(input_cte: str, id_cols: list[str], long_col: str,
                     f" + {M64} ELSE ({long_col})::HUGEINT END AS _u"),
         (f"{p}_g2", f"({_mul(_rotl(_xor(init, _round0('_u')), 27), str(P1))}"
                     f" + {P4}) % {M64} AS _a"),
-        (f"{p}_g3", f"{_xor('_a', f'_a // {1 << 33}')} AS _x1"),
-        (f"{p}_g4", f"{_mul('_x1', str(P2))} AS _x2"),
-        (f"{p}_g5", f"{_xor('_x2', f'_x2 // {1 << 29}')} AS _x3"),
-        (f"{p}_g6", f"{_mul('_x3', str(P3))} AS _x4"),
-        (f"{p}_g7", f"{_xor('_x4', f'_x4 // {1 << 32}')} AS _g"),
+    ] + [
+        # avalanche tail derived from the single _AVALANCHE spec
+        (f"{p}_g{i + 3}",
+         f"{_avalanche_step(kind, val, '_a' if i == 0 else f'_x{i}')}"
+         f" AS {'_g' if i == len(_AVALANCHE) - 1 else f'_x{i + 1}'}")
+        for i, (kind, val) in enumerate(_AVALANCHE)
     ]
     parts = []
     prev = input_cte
@@ -259,16 +275,10 @@ def seed_permutation_ctes(input_cte: str, id_cols: list[str], long_col: str,
     parts.append(f"{p}_s0 AS (SELECT {ids}, " + ",\n        ".join(pres)
                  + f" FROM {prev})")
     prev = f"{p}_s0"
-    levels = [
-        lambda c: f"{_xor(c, f'{c} // {1 << 33}')}",
-        lambda c: _mul(c, str(P2)),
-        lambda c: f"{_xor(c, f'{c} // {1 << 29}')}",
-        lambda c: _mul(c, str(P3)),
-        lambda c: f"{_xor(c, f'{c} // {1 << 32}')}",
-    ]
-    for lvl, fn in enumerate(levels):
+    for lvl, (kind, val) in enumerate(_AVALANCHE):
         cols = ",\n        ".join(
-            f"{fn(f'_q{i}_{lvl}')} AS _q{i}_{lvl + 1}" for i in seeds)
+            f"{_avalanche_step(kind, val, f'_q{i}_{lvl}')} AS _q{i}_{lvl + 1}"
+            for i in seeds)
         parts.append(f"{p}_s{lvl + 1} AS (SELECT {ids}, {cols} FROM {prev})")
         prev = f"{p}_s{lvl + 1}"
     finals = ", ".join(f"{_signed(f'_q{i}_5')} AS p{i}" for i in seeds)

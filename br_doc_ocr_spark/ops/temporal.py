@@ -49,6 +49,14 @@ def asof_join(left: DataFrame, right: DataFrame, time_col: str = "ts",
     from pyspark.sql import Window
 
     value_cols = value_cols or []
+    if time_col in value_cols:
+        # the matched timestamp is ALWAYS carried as {time_col}{suffix};
+        # listing it in value_cols too would build a _carry struct with two
+        # identical field names and fail later with an opaque ambiguous-
+        # field AnalysisException instead of this ValueError (review r05)
+        raise ValueError(
+            f"asof_join: {time_col!r} is carried automatically as "
+            f"'{time_col}{suffix}' — remove it from value_cols")
     rmap = {c: f"{c}{suffix}" for c in value_cols}
     reserved = {f"{time_col}{suffix}", *rmap.values(), "_src", "_carry", "_m"}
     clash = reserved & set(left.columns)
@@ -98,6 +106,24 @@ def range_join(points: DataFrame, intervals: DataFrame,
         raise ValueError(
             "range_join reserves the working column '_bucket', which "
             "already exists on an input frame — rename or drop it first")
+    # interval columns sharing a POINT column's name (beyond the join key)
+    # get an '_interval' suffix: the join itself is alias-qualified and
+    # works either way, but the returned frame would carry two columns of
+    # the same name and fail the caller's first unqualified reference with
+    # AMBIGUOUS_REFERENCE far from here (review r05)
+    overlap = (set(intervals.columns) & set(points.columns)) - {by}
+    if overlap:
+        renames = {c: f"{c}_interval" for c in sorted(overlap)}
+        taken = set(renames.values()) & (set(intervals.columns)
+                                         | set(points.columns))
+        if taken:
+            raise ValueError(
+                f"range_join: cannot disambiguate overlapping columns "
+                f"{sorted(overlap)} — suffixed names {sorted(taken)} "
+                f"already exist; rename the inputs")
+        intervals = intervals.withColumnsRenamed(renames)
+        start_col = renames.get(start_col, start_col)
+        end_col = renames.get(end_col, end_col)
     p_bucket = sf.floor(sf.unix_timestamp(sf.col(point_ts))
                         / sf.lit(bucket_seconds))
     i_buckets = sf.sequence(

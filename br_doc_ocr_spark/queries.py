@@ -1803,8 +1803,11 @@ def q_text_langid(spark, sf_dir):
 _SQL_CUR_LINES = ("list_filter(list_transform("
                   "string_split_regex(text, '\\r?\\n'), "
                   "x -> trim(x)), x -> x <> '')")
-_SQL_CUR_TOKS = ("list_filter(string_split(regexp_replace(lower(text), "
-                 "'[^\\p{L}\\p{N}]+', ' ', 'g'), ' '), x -> x <> '')")
+# composed from _SQL_TOKENS, not re-spelled: the tokenization must stay in
+# lockstep with Spark's textstats._word_tokens, and a regex-class fix
+# applied to one hand-written copy but not the other would skew ONLY the
+# dup_ngrams oracle — a confusing single-query mismatch (review r05)
+_SQL_CUR_TOKS = f"list_filter({_SQL_TOKENS}, x -> x <> '')"
 
 
 def _sql_dup_line_frac() -> str:

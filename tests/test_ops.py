@@ -927,6 +927,11 @@ def test_range_join_tolerates_colliding_column_names(spark):
                  "cast(ts as timestamp) AS ts")
     got = temporal.range_join(pts, ivs)
     assert got.count() == 1
+    # the colliding interval column comes back suffixed, never as a
+    # duplicate name that breaks the caller's first unqualified reference
+    # (review r05)
+    assert got.columns.count("ts") == 1
+    assert "ts_interval" in got.columns
 
 
 def test_range_join_refuses_reserved_bucket_column(spark):

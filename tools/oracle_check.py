@@ -27,7 +27,11 @@ def canonicalize(df: pd.DataFrame) -> tuple[int, list[str], list[tuple]]:
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return None
         if isinstance(v, float):
-            return round(v, 6)
+            # +0.0: -0.0 == 0.0 but str()s differently, and the row sort
+            # key is str — one engine rounding a tiny negative to -0.0
+            # would slot the row elsewhere and report a spurious value
+            # diff (review r05)
+            return round(v, 6) + 0.0
         if hasattr(v, "isoformat"):
             return v.isoformat().replace("+00:00", "")
         if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
@@ -39,7 +43,7 @@ def canonicalize(df: pd.DataFrame) -> tuple[int, list[str], list[tuple]]:
             if isinstance(v, np.integer):
                 return int(v)
             if isinstance(v, np.floating):
-                return round(float(v), 6)
+                return round(float(v), 6) + 0.0  # -0.0 → 0.0, as above
         except ImportError:
             pass
         return v
