@@ -31,6 +31,27 @@ def driver_memory_for(cpus: int) -> str:
                           f"{max(8, (cpus * 3) // 4)}g")
 
 
+def _master_is_configured() -> bool:
+    """Whether the caller's environment already carries a Spark master —
+    in which case :func:`build_session` must NOT force ``local[N]``: under
+    ``spark-submit --master yarn/k8s`` an unconditional ``.master()``
+    override silently ran the whole 1000-executor job single-node on the
+    driver (review r05 — cli.py documents this contract).
+
+    Detection is by HOW the JVM was launched, not by live spark.master
+    properties: user-run spark-submit starts the JVM first and launches
+    this Python process as a child WITH ``PYSPARK_GATEWAY_PORT`` set; an
+    explicit master can also arrive via ``PYSPARK_SUBMIT_ARGS``. A
+    ``SparkConf(loadDefaults)`` probe is NOT usable here — plain
+    ``python`` launches its JVM through spark-submit internally, so after
+    the FIRST session the master lands in JVM system properties and a
+    later ``build_session(cpus=k)`` in the same process would silently
+    keep the first session's core count (caught live: it pinned
+    bench.py's 4-core scaling leg to ``local[32]``)."""
+    return ("PYSPARK_GATEWAY_PORT" in os.environ
+            or "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", ""))
+
+
 def build_session(
     app_name: str = "br-doc-ocr-spark",
     cpus: int | None = None,
@@ -39,23 +60,8 @@ def build_session(
 ) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
-    # force local[N] ONLY when no master is already configured: under
-    # `spark-submit --master yarn/k8s` the master arrives as the
-    # spark.master system property, and an unconditional .master() override
-    # silently ran the whole 1000-executor job single-node on the driver
-    # (review r05 — cli.py documents this contract). Two signals:
-    # PYSPARK_GATEWAY_PORT is set in the Python child whenever spark-submit
-    # launched the JVM first (the submit master governs, even before any
-    # SparkContext exists in this process); SparkConf(True) additionally
-    # reads live JVM properties when a gateway is already attached. Plain
-    # `python` (the local/test path) has neither → local[N].
-    from pyspark import SparkConf
-
-    master_configured = (
-        "PYSPARK_GATEWAY_PORT" in os.environ
-        or SparkConf(loadDefaults=True).contains("spark.master"))
     builder = SparkSession.builder.appName(app_name)
-    if not master_configured:
+    if not _master_is_configured():
         # spark.driver.memory is the local-mode rendering of executor
         # sizing; under spark-submit it comes from the submit args and
         # cannot be changed after JVM launch anyway

@@ -268,6 +268,29 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
             or "BroadcastHashJoin" in plan)
 
 
+def test_master_detection_is_launch_shaped(monkeypatch):
+    """build_session forces local[N] only when the environment does NOT
+    carry a spark-submit master. Detection must key on HOW the JVM was
+    launched (PYSPARK_GATEWAY_PORT / PYSPARK_SUBMIT_ARGS), NOT on live
+    spark.master properties: plain `python` launches its JVM through
+    spark-submit internally, so after the first session the master lands
+    in system properties and a property probe pinned every later
+    build_session(cpus=k) to the FIRST session's core count — caught live
+    when it ran bench.py's 4-core scaling leg on local[32] (review r05)."""
+    from br_doc_ocr_spark.session import _master_is_configured
+
+    monkeypatch.delenv("PYSPARK_GATEWAY_PORT", raising=False)
+    monkeypatch.delenv("PYSPARK_SUBMIT_ARGS", raising=False)
+    # the conftest session is live in this process, so a property-based
+    # probe WOULD return True here — launch-shape detection must not
+    assert not _master_is_configured()
+    monkeypatch.setenv("PYSPARK_GATEWAY_PORT", "12345")
+    assert _master_is_configured()
+    monkeypatch.delenv("PYSPARK_GATEWAY_PORT")
+    monkeypatch.setenv("PYSPARK_SUBMIT_ARGS", "--master yarn pyspark-shell")
+    assert _master_is_configured()
+
+
 def test_heap_scales_with_task_concurrency(spark, monkeypatch):
     """build_session sizes the JVM heap to task slots (~0.75 GiB/core, 8 GiB
     floor) — the 20M-turn ordered write OOMs a fixed 8g heap at local[32]
