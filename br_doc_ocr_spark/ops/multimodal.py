@@ -234,6 +234,38 @@ class WavDecoder:
             "decoder")
 
 
+class AviDecoder:
+    """REAL video decode, zero external dependencies: payloads are AVI
+    (RIFF) containers with an MJPG or uncompressed-DIB video stream,
+    parsed and frame-decoded by :mod:`aviio` (MJPG frames through the
+    :mod:`jpegio` baseline-JFIF codec; DIB frames via one NumPy BGR
+    unpack). The container's own dimensions are authoritative; mismatched
+    metadata raises rather than silently mis-shaping downstream features —
+    the same contract as the image decoders."""
+
+    def decode_video_frame(self, payload: bytes, frame_idx: int,
+                           width: int, height: int) -> np.ndarray:
+        from br_doc_ocr_spark.ops import aviio
+
+        info = aviio.parse_avi(payload)
+        if (info.width, info.height) != (width, height):
+            raise ValueError(
+                f"media metadata says {width}x{height} but the AVI stream "
+                f"is {info.width}x{info.height} — refusing to "
+                f"feature-extract mislabeled media")
+        return aviio.decode_avi_frame(payload, frame_idx)
+
+    def decode_image(self, payload: bytes, width: int, height: int):
+        raise NotImplementedError(
+            "AviDecoder handles video only; route image rows to another "
+            "decoder")
+
+    def decode_audio(self, payload: bytes, n_samples: int):
+        raise NotImplementedError(
+            "AviDecoder handles video only; route audio rows to another "
+            "decoder")
+
+
 class LibraryDecoder:
     """The full-codec production decoder. Image decode uses PIL when it is
     installed (the reference's own dependency, ``services/preprocessing.py:
@@ -301,10 +333,22 @@ class LibraryDecoder:
             "available in this environment; WAV/PCM payloads work "
             "dependency-free via WavDecoder")
 
+    _avi = None  # lazy shared AviDecoder for the RIFF/AVI fallback
+
     def decode_video_frame(self, payload: bytes, frame_idx: int,
                            width: int, height: int):
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            # MJPG/DIB-in-AVI is decodable dependency-free, mirroring the
+            # image and audio fallbacks — only genuinely inter-frame-coded
+            # formats (H.264/VP9/...) need the library
+            if self._avi is None:
+                self._avi = AviDecoder()
+            return self._avi.decode_video_frame(payload, frame_idx,
+                                                width, height)
         raise NotImplementedError(
-            "real video decode requires PyAV — not available; use FakeDecoder")
+            "inter-frame video decode requires PyAV — not available in "
+            "this environment; MJPG/DIB-in-AVI payloads work "
+            "dependency-free via AviDecoder")
 
 
 # ---------------------------------------------------------------------------
@@ -434,10 +478,19 @@ VIDEO_FRAMES_DDL = (
 )
 
 
-def video_frame_sample_kernel(decoder=None, every_nth: int = 10):
+def video_frame_sample_kernel(decoder=None, every_nth: int = 10,
+                              on_error: str = "raise"):
     """frame-sample (every_nth) → per-frame decode → intensity + hash.
-    1→N flatMap: one output row per sampled frame (M7 explode shape)."""
+    1→N flatMap: one output row per sampled frame (M7 explode shape).
+
+    ``on_error='skip'`` quarantines corrupt payloads at MEDIA granularity —
+    a decode ValueError/OSError drops ALL of that video's frames (a
+    half-sampled video would silently skew frame-level dedup/aggregation)
+    instead of failing the task, the same cluster-scale contract as
+    :func:`image_feature_kernel`."""
     decoder = decoder or FakeDecoder()
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -445,30 +498,42 @@ def video_frame_sample_kernel(decoder=None, every_nth: int = 10):
             for media_id, payload, meta in zip(batch["media_id"],
                                                batch["payload"], batch["meta"]):
                 w, h = int(meta["width"]), int(meta["height"])
-                for frame_idx in range(0, int(meta["n_frames"]), every_nth):
-                    frame = decoder.decode_video_frame(bytes(payload),
-                                                       frame_idx, w, h)
-                    gray = frame.mean(axis=2)
-                    # 8x8 STRIDED downsample of the whole frame, same as
-                    # image_feature_kernel — the raw top-left 8x8 corner of
-                    # a real (smooth) frame is near-uniform, so its bits
-                    # were a degenerate, frame-content-independent pattern
-                    # that made phash-based frame dedup useless (review
-                    # r05; latent under FakeDecoder's noise frames)
-                    ty = (np.arange(8) * (h / 8)).astype(int)
-                    tx = (np.arange(8) * (w / 8)).astype(int)
-                    tiny = gray[ty][:, tx]
-                    bits = (tiny > tiny.mean()).flatten()
-                    phash = 0
-                    for b in bits:
-                        phash = (phash << 1) | int(b)
-                    phash -= (phash >> 63) << 64
-                    rows.append((int(media_id), frame_idx,
-                                 float(frame.mean()), phash))
+                media_rows = []
+                try:
+                    _sample_one(decoder, media_rows, int(media_id),
+                                bytes(payload), int(meta["n_frames"]),
+                                every_nth, w, h)
+                except (ValueError, OSError):
+                    if on_error == "skip":
+                        continue
+                    raise
+                rows.extend(media_rows)
             yield pd.DataFrame(rows, columns=[
                 "media_id", "frame_idx", "mean_intensity", "phash"])
 
     return run
+
+
+def _sample_one(decoder, rows: list, media_id: int, payload: bytes,
+                n_frames: int, every_nth: int, w: int, h: int) -> None:
+    for frame_idx in range(0, n_frames, every_nth):
+        frame = decoder.decode_video_frame(payload, frame_idx, w, h)
+        gray = frame.mean(axis=2)
+        # 8x8 STRIDED downsample of the whole frame, same as
+        # image_feature_kernel — the raw top-left 8x8 corner of a real
+        # (smooth) frame is near-uniform, so its bits were a degenerate,
+        # frame-content-independent pattern that made phash-based frame
+        # dedup useless (review r05; latent under FakeDecoder's noise
+        # frames)
+        ty = (np.arange(8) * (h / 8)).astype(int)
+        tx = (np.arange(8) * (w / 8)).astype(int)
+        tiny = gray[ty][:, tx]
+        bits = (tiny > tiny.mean()).flatten()
+        phash = 0
+        for b in bits:
+            phash = (phash << 1) | int(b)
+        phash -= (phash >> 63) << 64
+        rows.append((media_id, frame_idx, float(frame.mean()), phash))
 
 
 # ---------------------------------------------------------------------------
@@ -490,10 +555,12 @@ def audio_features(media: DataFrame, decoder=None,
 
 
 def sample_video_frames(media: DataFrame, decoder=None,
-                        every_nth: int = 10) -> DataFrame:
+                        every_nth: int = 10,
+                        on_error: str = "raise") -> DataFrame:
     vids = media.filter(media.kind == "video")
-    return vids.mapInPandas(video_frame_sample_kernel(decoder, every_nth),
-                            schema=VIDEO_FRAMES_DDL)
+    return vids.mapInPandas(
+        video_frame_sample_kernel(decoder, every_nth, on_error=on_error),
+        schema=VIDEO_FRAMES_DDL)
 
 
 def _synth_gradient(i: int, width: int, height: int) -> np.ndarray:
@@ -589,6 +656,39 @@ def synth_wav_media(spark: SparkSession, n: int = 8,
                      bytearray(wavio.encode_wav(samples, rate)), {
                          "width": 0, "height": 0, "n_frames": 0,
                          "sample_rate": rate, "format": "wav"}))
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA_DDL)
+
+
+def synth_avi_media(spark: SparkSession, n: int = 6,
+                    start_id: int = 0) -> DataFrame:
+    """Deterministic REAL-AVI media table: seeded per-frame RGB gradients
+    packed into actual RIFF/AVI containers (aviio.encode_avi), alternating
+    the MJPG codec (real per-frame baseline-JFIF decode through jpegio)
+    and uncompressed 24-bit DIB (including an odd width so the 4-byte row
+    stride is exercised) — the e2e corpus for :class:`AviDecoder`. Frame
+    counts vary so the kernel's every_nth sampling crosses container
+    boundaries; metadata matches the container truth."""
+    import pandas as pd  # noqa: F811
+
+    from br_doc_ocr_spark.ops import aviio
+
+    rows = []
+    for i in range(n):
+        codec = "DIB" if i % 2 else "MJPG"
+        # odd width on the DIB rows exercises the stride-padding unpack;
+        # sizes stay modest because the frozen catalog goldens pin these
+        # exact frames (MJPG decode measures ~0.8 MB/s/core — bench.py
+        # `jpeg_decode_mb_s`)
+        width = 96 + (i % 3) * 32 + (1 if codec == "DIB" else 0)
+        height = 64 + (i % 2) * 32
+        n_frames = 12 + (i % 3) * 9   # 12/21/30: 2-3 sampled at every_nth=10
+        frames = [_synth_gradient(i * 101 + f * 7, width, height)
+                  for f in range(n_frames)]
+        payload = aviio.encode_avi(frames, fps=10.0, codec=codec)
+        rows.append((start_id + i, "video", bytearray(payload), {
+            "width": width, "height": height, "n_frames": n_frames,
+            "sample_rate": 0, "format": "avi"}))
     pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
     return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA_DDL)
 

@@ -1965,6 +1965,9 @@ def q_multimodal_features(spark, sf_dir):
 # any decode drift breaks the hash match. (modality, media_id, k1, k2, v):
 #   png/jpeg — k1=out_width, k2=out_height, v=round(mean_intensity, 4)
 #   wav      — k1=decoded n_samples, k2=zero_crossings, v=round(rms, 6)
+#   avi      — k1=frame_idx, k2=((phash>>31)^phash)&0x7FFFFFFF (the 64-bit
+#              frame phash folded into the row schema's INTEGER slot),
+#              v=round(mean_intensity, 4); one row per SAMPLED frame
 _MM_REAL_GOLDEN = [
     ("png", i, w, h, v) for i, w, h, v in [
         (0, 96, 64, 84.1667), (1, 384, 256, 121.1667), (2, 672, 448, 123.4649),
@@ -1986,6 +1989,17 @@ _MM_REAL_GOLDEN = [
         (204, 8500, 467, 0.395269), (205, 9500, 784, 0.386553),
         (206, 7500, 825, 0.395317), (207, 8500, 1168, 0.166179),
     ]
+] + [
+    ("avi", i, fi, k2, v) for i, fi, k2, v in [
+        (300, 0, 528481777, 84.1617), (300, 10, 2036551000, 123.6993),
+        (301, 0, 1603343135, 131.2003), (301, 10, 2046150140, 131.0986),
+        (301, 20, 49872626, 144.7093), (302, 0, 1927530108, 138.3018),
+        (302, 10, 1335638385, 128.6238), (302, 20, 1048047583, 153.613),
+        (303, 0, 2146009087, 124.3912), (303, 10, 860289, 118.5378),
+        (304, 0, 167640055, 110.2002), (304, 10, 1022987934, 108.0912),
+        (304, 20, 1229988366, 108.6648), (305, 0, 321005311, 116.676),
+        (305, 10, 1545148205, 127.0845), (305, 20, 1906952463, 129.3882),
+    ]
 ]
 
 
@@ -1998,9 +2012,13 @@ _MM_REAL_GOLDEN = [
     "multimodal REAL decode end-to-end (VERDICT r04 #4): seeded gradients "
     "encoded to actual PNG (pngio) and baseline-JFIF 4:4:4/4:2:0 (jpegio) "
     "bytes decoded by the format-sniffing ImageDecoder through the resize/"
-    "feature kernel, and seeded sine mixes encoded to actual RIFF/PCM bytes "
-    "(wavio) decoded by WavDecoder through the RMS/zero-crossing kernel — "
-    "per-media-id rows so a single-pixel codec drift breaks the hash")
+    "feature kernel, seeded sine mixes encoded to actual RIFF/PCM bytes "
+    "(wavio) decoded by WavDecoder through the RMS/zero-crossing kernel, "
+    "and seeded per-frame gradients packed into actual RIFF/AVI containers "
+    "(aviio, alternating MJPG and stride-padded DIB) frame-sampled through "
+    "AviDecoder (r05 — the video family joins image/audio on real bytes) — "
+    "per-media-id/per-frame rows so a single-pixel codec drift breaks the "
+    "hash")
 def q_multimodal_real_codec(spark, sf_dir):
     from br_doc_ocr_spark.ops import multimodal as mm
 
@@ -2020,7 +2038,18 @@ def q_multimodal_real_codec(spark, sf_dir):
                    sf.col("n_samples").alias("k1"),
                    sf.col("zero_crossings").alias("k2"),
                    sf.round("rms", 6).alias("v")))
-    return img.unionByName(wav)
+    # k2 pins the full 64-bit frame phash folded to 31 bits (the row schema
+    # is INTEGER); the fold is plain two's-complement bit math so Spark's
+    # arithmetic shiftright reproduces the frozen Python value exactly
+    avi = (mm.sample_video_frames(mm.synth_avi_media(spark, n=6,
+                                                     start_id=300),
+                                  decoder=mm.AviDecoder(), every_nth=10)
+           .select(sf.lit("avi").alias("modality"), "media_id",
+                   sf.col("frame_idx").alias("k1"),
+                   sf.shiftright("phash", 31).bitwiseXOR(sf.col("phash"))
+                   .bitwiseAND(sf.lit(0x7FFFFFFF)).cast("int").alias("k2"),
+                   sf.round("mean_intensity", 4).alias("v")))
+    return img.unionByName(wav).unionByName(avi)
 
 
 @register(
