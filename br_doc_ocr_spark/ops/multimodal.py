@@ -39,6 +39,7 @@ Schema:
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 from typing import Iterable, Iterator
 
 import numpy as np
@@ -577,13 +578,20 @@ def _synth_gradient(i: int, width: int, height: int) -> np.ndarray:
     ], axis=2)
 
 
-def synth_png_media(spark: SparkSession, n: int = 12) -> DataFrame:
-    """Deterministic REAL-PNG media table: seeded RGB gradient images
-    encoded to actual PNG bytes (pngio.encode_png), metadata matching the
-    encoded dimensions — the e2e corpus for :class:`PngDecoder`. Dimensions
-    cross MAX_DIMENSION so the resize path is exercised on real decodes."""
+def _synth_media_df(spark: SparkSession, rows: tuple) -> DataFrame:
+    """Cached-rows → DataFrame. Meta dicts are copied per call so a cached
+    tuple can never be mutated through a returned frame; payloads are
+    immutable ``bytes`` already."""
     import pandas as pd  # noqa: F811
 
+    pdf = pd.DataFrame(
+        [(mid, kind, payload, dict(meta)) for mid, kind, payload, meta in rows],
+        columns=["media_id", "kind", "payload", "meta"])
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA_DDL)
+
+
+@lru_cache(maxsize=4)
+def _synth_png_rows(n: int) -> tuple:
     from br_doc_ocr_spark.ops import pngio
 
     rows = []
@@ -591,11 +599,24 @@ def synth_png_media(spark: SparkSession, n: int = 12) -> DataFrame:
         width = 96 + (i % 5) * 288   # 96..1248: crosses MAX_DIMENSION
         height = 64 + (i % 7) * 192
         img = _synth_gradient(i, width, height)
-        rows.append((i, "image", bytearray(pngio.encode_png(img)), {
-            "width": width, "height": height, "n_frames": 1,
-            "sample_rate": 0, "format": "png"}))
-    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
-    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA_DDL)
+        rows.append((i, "image", pngio.encode_png(img), (
+            ("width", width), ("height", height), ("n_frames", 1),
+            ("sample_rate", 0), ("format", "png"))))
+    return tuple(rows)
+
+
+def synth_png_media(spark: SparkSession, n: int = 12) -> DataFrame:
+    """Deterministic REAL-PNG media table: seeded RGB gradient images
+    encoded to actual PNG bytes (pngio.encode_png), metadata matching the
+    encoded dimensions — the e2e corpus for :class:`PngDecoder`. Dimensions
+    cross MAX_DIMENSION so the resize path is exercised on real decodes.
+
+    Payload rows are lru-cached: the corpora are pure functions of their
+    parameters and the pure-Python encoders dominate the driver-side cost
+    of a repeat invocation (~1.1 s/call across the three image/video
+    corpora), so the catalog query and best-of-N bench pay encode once per
+    process, not once per run."""
+    return _synth_media_df(spark, _synth_png_rows(n))
 
 
 def synth_jpeg_media(spark: SparkSession, n: int = 8,
@@ -607,9 +628,13 @@ def synth_jpeg_media(spark: SparkSession, n: int = 8,
     catalog goldens pin these exact images (the resize-above-cap path is
     exercised on real bytes by the PNG corpus); decode throughput is no
     longer the constraint — the r05 LUT entropy decoder measures ~0.8 MB/s
-    of compressed input per core (bench.py `jpeg_decode_mb_s`)."""
-    import pandas as pd  # noqa: F811
+    of compressed input per core (bench.py `jpeg_decode_mb_s`). Rows are
+    lru-cached (see :func:`synth_png_media`)."""
+    return _synth_media_df(spark, _synth_jpeg_rows(n, start_id))
 
+
+@lru_cache(maxsize=4)
+def _synth_jpeg_rows(n: int, start_id: int) -> tuple:
     from br_doc_ocr_spark.ops import jpegio
 
     rows = []
@@ -619,11 +644,10 @@ def synth_jpeg_media(spark: SparkSession, n: int = 8,
         img = _synth_gradient(i, width, height)
         sub = "4:2:0" if i % 2 else "4:4:4"
         payload = jpegio.encode_jpeg(img, quality=90, subsampling=sub)
-        rows.append((start_id + i, "image", bytearray(payload), {
-            "width": width, "height": height, "n_frames": 1,
-            "sample_rate": 0, "format": "jpeg"}))
-    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
-    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA_DDL)
+        rows.append((start_id + i, "image", payload, (
+            ("width", width), ("height", height), ("n_frames", 1),
+            ("sample_rate", 0), ("format", "jpeg"))))
+    return tuple(rows)
 
 
 def synth_wav_media(spark: SparkSession, n: int = 8,
@@ -633,9 +657,13 @@ def synth_wav_media(spark: SparkSession, n: int = 8,
     (wavio.encode_wav) — the e2e corpus for :class:`WavDecoder`. Rows
     alternate mono and stereo (the decoder's downmix path), and lengths
     vary around one second so the kernel's decoded-length reporting is
-    exercised against file truth rather than metadata."""
-    import pandas as pd  # noqa: F811
+    exercised against file truth rather than metadata. Rows are lru-cached
+    (see :func:`synth_png_media`)."""
+    return _synth_media_df(spark, _synth_wav_rows(n, start_id))
 
+
+@lru_cache(maxsize=4)
+def _synth_wav_rows(n: int, start_id: int) -> tuple:
     from br_doc_ocr_spark.ops import wavio
 
     rows = []
@@ -652,12 +680,10 @@ def synth_wav_media(spark: SparkSession, n: int = 8,
             samples = np.stack([q, right], axis=1)
         else:
             samples = q
-        rows.append((start_id + i, "audio",
-                     bytearray(wavio.encode_wav(samples, rate)), {
-                         "width": 0, "height": 0, "n_frames": 0,
-                         "sample_rate": rate, "format": "wav"}))
-    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
-    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA_DDL)
+        rows.append((start_id + i, "audio", wavio.encode_wav(samples, rate),
+                     (("width", 0), ("height", 0), ("n_frames", 0),
+                      ("sample_rate", rate), ("format", "wav"))))
+    return tuple(rows)
 
 
 def synth_avi_media(spark: SparkSession, n: int = 6,
@@ -668,9 +694,14 @@ def synth_avi_media(spark: SparkSession, n: int = 6,
     and uncompressed 24-bit DIB (including an odd width so the 4-byte row
     stride is exercised) — the e2e corpus for :class:`AviDecoder`. Frame
     counts vary so the kernel's every_nth sampling crosses container
-    boundaries; metadata matches the container truth."""
-    import pandas as pd  # noqa: F811
+    boundaries; metadata matches the container truth. Rows are lru-cached
+    (see :func:`synth_png_media` — at ~0.75 s of driver-side MJPG encode
+    per build, this corpus is the one the cache exists for)."""
+    return _synth_media_df(spark, _synth_avi_rows(n, start_id))
 
+
+@lru_cache(maxsize=4)
+def _synth_avi_rows(n: int, start_id: int) -> tuple:
     from br_doc_ocr_spark.ops import aviio
 
     rows = []
@@ -686,11 +717,10 @@ def synth_avi_media(spark: SparkSession, n: int = 6,
         frames = [_synth_gradient(i * 101 + f * 7, width, height)
                   for f in range(n_frames)]
         payload = aviio.encode_avi(frames, fps=10.0, codec=codec)
-        rows.append((start_id + i, "video", bytearray(payload), {
-            "width": width, "height": height, "n_frames": n_frames,
-            "sample_rate": 0, "format": "avi"}))
-    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
-    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA_DDL)
+        rows.append((start_id + i, "video", payload, (
+            ("width", width), ("height", height), ("n_frames", n_frames),
+            ("sample_rate", 0), ("format", "avi"))))
+    return tuple(rows)
 
 
 def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
